@@ -1,0 +1,365 @@
+"""Typed, frozen configuration tree for the RSO-TPU engine.
+
+Mirrors the reference's seven parameter structs and INI sections
+(reference: libstereo-odometry/include/libstereo-odometry.h:554-663, defaults in
+stage1_rectify.cpp:27-30, stage2_detect.cpp:44-58, stage3_match_left_right.cpp:46-57,
+common.cpp:69-84, process_new_image_pair.cpp:34-35) with identical key names so
+reference INI files load unchanged.  Extended with a [TPU] section holding the
+static capacities that make every per-frame array shape-stable (the TPU-native
+replacement for the reference's dynamic std::vectors).
+
+All dataclasses are frozen + hashable so a config can be a `static_argnum` of a
+jitted step function.
+"""
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import enum
+from dataclasses import dataclass
+from typing import Tuple
+
+
+class DetectMethod(enum.IntEnum):
+    """reference: TDetectParams::TDMethod (libstereo-odometry.h:383)."""
+
+    ORB = 0
+    FAST_ORB = 1
+    FASTER = 2
+    KLT = 3
+
+
+class NMSMethod(enum.IntEnum):
+    """reference: TDetectParams::NMSMethod."""
+
+    STANDARD = 0
+    ADAPTIVE = 1
+
+
+class StereoMatchMethod(enum.IntEnum):
+    """reference: TLeftRightMatchParams::TSMMethod (libstereo-odometry.h:449)."""
+
+    DESC_BF = 0
+    DESC_RBR = 1
+    SAD = 2
+
+
+class IFMatchMethod(enum.IntEnum):
+    """reference: TInterFrameMatchingParams::TIFMMethod (libstereo-odometry.h:285)."""
+
+    DESC_BF = 0
+    DESC_WIN = 1
+    SAD = 2
+    OPTICAL_FLOW = 3
+
+
+@dataclass(frozen=True)
+class RectifyParams:
+    """[RECTIFY] — reference TRectifyParams (stage1_rectify.cpp:27-30)."""
+
+    nOctaves: int = 3
+
+
+@dataclass(frozen=True)
+class DetectParams:
+    """[DETECT] — reference TDetectParams defaults (stage2_detect.cpp:44-58)."""
+
+    detect_method: DetectMethod = DetectMethod.FASTER
+    target_feats_per_pixel: float = 10.0 / 1000.0
+    KLT_win: int = 4
+    minimum_KLT_response: float = 10.0
+    non_maximal_suppression: bool = True
+    nmsMethod: NMSMethod = NMSMethod.STANDARD
+    min_distance: int = 3
+    orb_nfeats: int = 500
+    orb_nlevels: int = 8
+    minimum_ORB_response: float = 0.0
+    fast_min_th: int = 5
+    fast_max_th: int = 30
+    initial_FAST_threshold: int = 20
+
+
+@dataclass(frozen=True)
+class LeftRightMatchParams:
+    """[MATCH] — reference TLeftRightMatchParams (stage3_match_left_right.cpp:46-57)."""
+
+    match_method: StereoMatchMethod = StereoMatchMethod.SAD
+    sad_max_distance: int = 200
+    sad_max_ratio: float = 0.5
+    orb_max_distance: float = 40.0
+    orb_min_th: int = 30
+    orb_max_th: int = 100
+    enable_robust_1to1_match: bool = False
+    rectified_images: bool = False
+    max_y_diff: float = 0.0
+    min_z: float = 0.3
+    max_z: float = 5.0
+
+
+@dataclass(frozen=True)
+class InterFrameMatchParams:
+    """[IF-MATCH] — reference TInterFrameMatchingParams (libstereo-odometry.h:285-310).
+
+    The reference leaves the ctor empty (common.cpp:84); these defaults match the
+    demo config shipped with the reference and the windowed-SAD code paths
+    (stage4_match_consecutive.cpp:441-448).
+    """
+
+    ifm_method: IFMatchMethod = IFMatchMethod.SAD
+    ifm_win_w: int = 40
+    ifm_win_h: int = 40
+    sad_max_distance: int = 200
+    sad_max_ratio: float = 0.5
+    orb_max_distance: float = 40.0
+    filter_fund_matrix: bool = True
+
+
+@dataclass(frozen=True)
+class LeastSquaresParams:
+    """[LEAST_SQUARES] — reference TLeastSquaresParams (common.cpp:69-82)."""
+
+    use_robust_kernel: bool = True
+    kernel_param: float = 3.0
+    max_iters: int = 100
+    initial_max_iters: int = 10
+    min_mod_out_vector: float = 1e-3
+    std_noise_pixels: float = 1.0
+    max_incr_cost: int = 3
+    residual_threshold: float = 10.0
+    bad_tracking_th: int = 5
+    use_previous_pose_as_initial: bool = True
+    use_custom_initial_pose: bool = False
+    # TPU extension: weight the Hessian by the robust-kernel derivative rho'
+    # as well as the gradient (proper IRLS).  The reference weights only the
+    # gradient (stage5_optimization.cpp:364-365), which scales GN steps by
+    # rho' (~0.03 for large residuals) and stalls cold starts.  Both schemes
+    # share the fixed point sum(rho' J^T r)=0, so the converged pose is the
+    # same; this only changes the path.  Set False for exact reference
+    # iteration behavior.
+    irls_hessian_weighting: bool = True
+
+
+@dataclass(frozen=True)
+class GUIParams:
+    """[GUI] — reference TGUIParams (gui_thread.cpp:34-40).
+
+    The TPU build has no interactive window; these flags gate the offline
+    visualization writer (rso.metrics.viz) instead.
+    """
+
+    show_gui: bool = False
+    draw_all_raw_feats: bool = False
+    draw_lr_pairings: bool = False
+    draw_tracking: bool = True
+
+
+@dataclass(frozen=True)
+class GeneralParams:
+    """[GENERAL] — reference TGeneralParams (process_new_image_pair.cpp:34-35)."""
+
+    vo_use_matches_ids: bool = False
+    vo_save_files: bool = False
+    vo_debug: bool = False
+    vo_pause_it: bool = False
+    vo_out_dir: str = "out"
+
+
+@dataclass(frozen=True)
+class TPUParams:
+    """[TPU] — static capacities & numerics (no reference equivalent; this is the
+    fixed-shape contract that replaces dynamic std::vector sizes everywhere)."""
+
+    max_kps_per_octave: int = 512      # K: feature slots per image per octave
+    max_tracks: int = 1024             # T: flat tracked-pair slots entering stage 5
+    ransac_iters: int = 64             # fixed hypothesis count (replaces cv::FM_RANSAC)
+    ransac_threshold: float = 1.0      # epipolar (Sampson) inlier distance, px
+    fast_arc: int = 12                 # FAST-N contiguous arc (FASTER-12 equivalent)
+    use_pallas: bool = True            # use Pallas kernels when on TPU
+    interpret_pallas: bool = False     # run Pallas kernels in interpreter mode (CPU tests)
+
+
+@dataclass(frozen=True)
+class RSOConfig:
+    rectify: RectifyParams = RectifyParams()
+    detect: DetectParams = DetectParams()
+    lr_match: LeftRightMatchParams = LeftRightMatchParams()
+    if_match: InterFrameMatchParams = InterFrameMatchParams()
+    least_squares: LeastSquaresParams = LeastSquaresParams()
+    gui: GUIParams = GUIParams()
+    general: GeneralParams = GeneralParams()
+    tpu: TPUParams = TPUParams()
+
+    @property
+    def n_octaves(self) -> int:
+        """ORB detection works on a single octave (its scale space is internal);
+        other detectors use the pyramid — reference stage1_rectify.cpp:80."""
+        if self.detect.detect_method == DetectMethod.ORB:
+            return 1
+        return self.rectify.nOctaves
+
+    def replace(self, **kw) -> "RSOConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# --------------------------------------------------------------------------
+# INI loader — same section order & key names as the reference loader
+# (libstereo-odometry.h:554-663): RECTIFY, DETECT, MATCH, IF-MATCH,
+# LEAST_SQUARES, GUI, GENERAL.  Unknown keys are ignored, missing keys keep
+# defaults, matching mrpt::CConfigFile semantics.
+# --------------------------------------------------------------------------
+
+_SECTION_FIELDS = {
+    "RECTIFY": ("rectify", RectifyParams, {"nOctaves": "nOctaves"}),
+    "DETECT": (
+        "detect",
+        DetectParams,
+        {
+            "detect_method": "detect_method",
+            "min_distance": "min_distance",
+            "target_feats_per_pixel": "target_feats_per_pixel",
+            "initial_FAST_threshold": "initial_FAST_threshold",
+            "fast_min_th": "fast_min_th",
+            "fast_max_th": "fast_max_th",
+            "KLT_win": "KLT_win",
+            "minimum_KLT_response": "minimum_KLT_response",
+            "orb_nfeats": "orb_nfeats",
+            "orb_nlevels": "orb_nlevels",
+            "minimum_ORB_response": "minimum_ORB_response",
+            "non_maximal_suppression": "non_maximal_suppression",
+            "non_max_supp_method": "nmsMethod",
+        },
+    ),
+    "MATCH": (
+        "lr_match",
+        LeftRightMatchParams,
+        {
+            "match_method": "match_method",
+            "max_y_diff": "max_y_diff",
+            "enable_robust_1to1_match": "enable_robust_1to1_match",
+            "rectified_images": "rectified_images",
+            "min_z": "min_z",
+            "max_z": "max_z",
+            "sad_max_ratio": "sad_max_ratio",
+            "sad_max_distance": "sad_max_distance",
+            "orb_min_th": "orb_min_th",
+            "orb_max_th": "orb_max_th",
+            "orb_max_distance": "orb_max_distance",
+        },
+    ),
+    "IF-MATCH": (
+        "if_match",
+        InterFrameMatchParams,
+        {
+            "if_match_method": "ifm_method",
+            "filter_fund_matrix": "filter_fund_matrix",
+            "window_height": "ifm_win_h",
+            "window_width": "ifm_win_w",
+            "sad_max_ratio": "sad_max_ratio",
+            "sad_max_distance": "sad_max_distance",
+            "orb_max_distance": "orb_max_distance",
+        },
+    ),
+    "LEAST_SQUARES": (
+        "least_squares",
+        LeastSquaresParams,
+        {
+            "std_noise_pixels": "std_noise_pixels",
+            "use_previous_pose_as_initial": "use_previous_pose_as_initial",
+            "initial_max_iters": "initial_max_iters",
+            "max_iters": "max_iters",
+            "min_mod_out_vector": "min_mod_out_vector",
+            "max_incr_cost": "max_incr_cost",
+            "residual_threshold": "residual_threshold",
+            "bad_tracking_th": "bad_tracking_th",
+            "use_robust_kernel": "use_robust_kernel",
+            "kernel_param": "kernel_param",
+        },
+    ),
+    "GUI": (
+        "gui",
+        GUIParams,
+        {
+            "show_gui": "show_gui",
+            "draw_all_raw_feats": "draw_all_raw_feats",
+            "draw_lr_pairings": "draw_lr_pairings",
+            "draw_tracking": "draw_tracking",
+        },
+    ),
+    "GENERAL": (
+        "general",
+        GeneralParams,
+        {
+            "vo_use_matches_ids": "vo_use_matches_ids",
+            "vo_save_files": "vo_save_files",
+            "vo_debug": "vo_debug",
+            "vo_pause_it": "vo_pause_it",
+            "vo_out_dir": "vo_out_dir",
+        },
+    ),
+    "TPU": (
+        "tpu",
+        TPUParams,
+        {f.name: f.name for f in dataclasses.fields(TPUParams)},
+    ),
+}
+
+_ENUM_FIELDS = {
+    "detect_method": DetectMethod,
+    "nmsMethod": NMSMethod,
+    "match_method": StereoMatchMethod,
+    "ifm_method": IFMatchMethod,
+}
+
+
+def _parse_value(field_type, raw: str):
+    raw = raw.strip()
+    if field_type is bool:
+        return raw.lower() in ("1", "true", "yes", "on")
+    if field_type is int:
+        return int(float(raw))
+    if field_type is float:
+        return float(raw)
+    if isinstance(field_type, type) and issubclass(field_type, enum.IntEnum):
+        return field_type(int(raw))
+    return raw
+
+
+def load_config(path: str, base: RSOConfig | None = None) -> RSOConfig:
+    """Load an INI config with the reference's sections/keys into an RSOConfig."""
+    cfg = base or RSOConfig()
+    parser = configparser.ConfigParser(inline_comment_prefixes=("//", ";", "#"))
+    parser.optionxform = str  # preserve case of keys
+    with open(path) as f:
+        parser.read_string(f.read())
+
+    updates = {}
+    for section, (attr, cls, keymap) in _SECTION_FIELDS.items():
+        if not parser.has_section(section):
+            continue
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kw = {}
+        for ini_key, field_name in keymap.items():
+            if parser.has_option(section, ini_key):
+                ftype = _ENUM_FIELDS.get(field_name, fields[field_name].type)
+                if isinstance(ftype, str):  # from __future__ annotations
+                    ftype = {"int": int, "float": float, "bool": bool, "str": str}.get(
+                        ftype, _ENUM_FIELDS.get(field_name, str)
+                    )
+                kw[field_name] = _parse_value(ftype, parser.get(section, ini_key))
+        if kw:
+            updates[attr] = dataclasses.replace(getattr(cfg, attr), **kw)
+    return cfg.replace(**updates) if updates else cfg
+
+
+def dump_to_console(cfg: RSOConfig) -> str:
+    """Pretty-print the config (reference: dumpToConsole(), libstereo-odometry.h:187)."""
+    lines = []
+    for attr in ("rectify", "detect", "lr_match", "if_match", "least_squares",
+                 "gui", "general", "tpu"):
+        sub = getattr(cfg, attr)
+        name = type(sub).__name__
+        for f in dataclasses.fields(sub):
+            lines.append(f"\t[{name}]\t{f.name} = {getattr(sub, f.name)}")
+    text = "\n".join(lines)
+    print(text)
+    return text

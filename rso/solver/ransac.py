@@ -1,0 +1,111 @@
+"""Batched fixed-iteration RANSAC for the fundamental matrix.
+
+TPU-native replacement for cv::findFundamentalMat(FM_RANSAC, 1.0, 0.99) used by
+the reference's inter-frame outlier filter (stereo_vo
+stage4_match_consecutive.cpp:36-63, :202, :237, :684, :696).  OpenCV's adaptive
+iteration count becomes a fixed hypothesis batch: all H hypotheses sample 8
+correspondences, solve the normalized 8-point system, and score Sampson
+inlier counts — entirely vectorized (vmap over hypotheses), deterministic
+given the PRNG key.
+
+Like the reference (which skips the filter when < 8 points are available,
+stage4:166), the caller gets `ok=False` when the inlier structure is too thin
+and should then pass matches through unfiltered.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RansacResult(NamedTuple):
+    inliers: jnp.ndarray    # [N] bool
+    F: jnp.ndarray          # [3,3] best fundamental matrix
+    n_inliers: jnp.ndarray  # int32
+    ok: jnp.ndarray         # bool: >= 8 inliers found (reference stage4:205,240)
+
+
+def _normalize_pts(pts, mask):
+    """Hartley normalization: zero-mean, mean distance sqrt(2), masked."""
+    w = mask.astype(pts.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(pts * w[:, None], axis=0) / n
+    d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1))
+    scale = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(d * w) / n, 1e-9)
+    T = jnp.array(
+        [[scale, 0.0, -scale * mean[0]],
+         [0.0, scale, -scale * mean[1]],
+         [0.0, 0.0, 1.0]], dtype=pts.dtype)
+    pn = (pts - mean) * scale
+    return pn, T
+
+
+def _solve_eight_point(p1n, p2n):
+    """F (in normalized coords) from 8 correspondences via SVD nullspace."""
+    x1, y1 = p1n[:, 0], p1n[:, 1]
+    x2, y2 = p2n[:, 0], p2n[:, 1]
+    ones = jnp.ones_like(x1)
+    A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones],
+                  axis=-1)  # [8,9]
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    f = Vt[-1]
+    F = f.reshape(3, 3)
+    # enforce rank 2
+    U, S, Vt2 = jnp.linalg.svd(F, full_matrices=False)
+    S = S.at[2].set(0.0)
+    return (U * S) @ Vt2
+
+
+def _sampson_sq(F, p1, p2):
+    """Squared Sampson distance of correspondences to F (pixel^2)."""
+    x1 = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=-1)  # [N,3]
+    x2 = jnp.concatenate([p2, jnp.ones_like(p2[:, :1])], axis=-1)
+    Fx1 = x1 @ F.T          # [N,3] = F @ x1
+    Ftx2 = x2 @ F           # [N,3] = F^T @ x2
+    num = jnp.sum(x2 * Fx1, axis=-1) ** 2
+    den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def ransac_fundamental(
+    p1: jnp.ndarray,        # [N,2] points in frame t
+    p2: jnp.ndarray,        # [N,2] points in frame t+1
+    mask: jnp.ndarray,      # [N] bool valid correspondences
+    key: jnp.ndarray,       # PRNG key
+    n_iters: int = 64,
+    threshold: float = 1.0,
+) -> RansacResult:
+    """Fixed-batch 8-point RANSAC. All hypotheses evaluated in parallel."""
+    N = p1.shape[0]
+    dtype = jnp.float32
+    p1 = p1.astype(dtype)
+    p2 = p2.astype(dtype)
+
+    p1n, T1 = _normalize_pts(p1, mask)
+    p2n, T2 = _normalize_pts(p2, mask)
+
+    # Sample 8 valid indices per hypothesis: draw from the valid set via
+    # categorical sampling over the mask (uniform over valid slots).
+    logits = jnp.where(mask, 0.0, -1e9)
+    keys = jax.random.split(key, n_iters)
+
+    def hypothesis(k):
+        idx = jax.random.categorical(k, logits, shape=(8,))
+        F = _solve_eight_point(p1n[idx], p2n[idx])
+        Fpix = T2.T @ F @ T1   # de-normalize to pixel coords
+        d2 = _sampson_sq(Fpix, p1, p2)
+        inl = mask & (d2 <= threshold * threshold)
+        return jnp.sum(inl.astype(jnp.int32)), Fpix
+
+    scores, Fs = jax.vmap(hypothesis)(keys)
+    best = jnp.argmax(scores)
+    Fbest = Fs[best]
+    d2 = _sampson_sq(Fbest, p1, p2)
+    inliers = mask & (d2 <= threshold * threshold)
+    n_inl = jnp.sum(inliers.astype(jnp.int32))
+    ok = n_inl >= 8
+    # When the model is unusable the reference keeps all matches (stage4:256-259)
+    inliers = jnp.where(ok, inliers, mask)
+    return RansacResult(inliers=inliers, F=Fbest, n_inliers=n_inl, ok=ok)

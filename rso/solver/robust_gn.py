@@ -1,0 +1,213 @@
+"""Two-phase robust Gauss-Newton 6-DoF pose solver, fully fused under jit.
+
+TPU-native re-design of the reference's stage-5 optimizer (stereo_vo
+stage5_optimization.cpp:275-736 — m_evalRGN + the two while-loops) and of the
+standalone getChangeInPose entry (common.cpp:355-413):
+
+  * the per-landmark loop becomes a masked vmap/einsum accumulation,
+  * the data-dependent iteration (early exit on ||dx||, cost-increase abort,
+    condition-number abort) becomes a single `lax.while_loop` whose carry
+    mirrors the reference's (deltaPose, pCost, timesInc, done, abort) state,
+  * phase 1 (<= initial_max_iters) -> residual-threshold outlier cut ->
+    phase 2 (<= max_iters) is one XLA program; landmarks are triangulated once
+    and masked, never re-gathered.
+
+Error-code semantics match VOErrorCode (libstereo-odometry.h:142):
+NONE / FIRST_ITERATION are produced by the engine; BAD_COND_NUMBER,
+INCR_FUNC_COST_STG1/2 are produced here.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rso.config import LeastSquaresParams
+from rso.geometry.stereo_camera import (
+    StereoCamera,
+    project_stereo_with_jacobian,
+    triangulate,
+)
+
+# VOErrorCode (reference libstereo-odometry.h:142)
+VOEC_NONE = 0
+VOEC_BAD_TRACKING = 1
+VOEC_BAD_COND_NUMBER = 2
+VOEC_INCR_FUNC_COST_STG1 = 3
+VOEC_INCR_FUNC_COST_STG2 = 4
+VOEC_FIRST_ITERATION = 5
+
+_COND_MAX = 1e7  # condition-number guard (reference aborts only on NaN; we
+                 # additionally flag numerically-singular systems in f32)
+
+
+class PoseSolveResult(NamedTuple):
+    pose: jnp.ndarray           # [6] pose of current frame wrt previous (inverse of deltaPose)
+    delta_pose: jnp.ndarray     # [6] raw optimized increment (w,t)
+    valid: jnp.ndarray          # bool scalar
+    error_code: jnp.ndarray     # int32 scalar (VOEC_*)
+    num_it: jnp.ndarray         # int32 phase-1 iterations
+    num_it_final: jnp.ndarray   # int32 phase-2 iterations
+    residuals: jnp.ndarray      # [N] squared pixel residual per track slot
+    inliers: jnp.ndarray        # [N] bool final inlier mask
+    cost: jnp.ndarray           # final robust cost
+
+
+def _eval_rgn(cam: StereoCamera, lmks, obs, mask, delta_pose, params: LeastSquaresParams):
+    """One GN evaluation: the reference's m_evalRGN (stage5_optimization.cpp:275-390).
+
+    lmks: [N,3] triangulated previous-frame landmarks
+    obs:  [N,4] current-frame (uL,vL,uR,vR) observations
+    mask: [N]   active-landmark mask
+    Returns (dx, cost, residual_sq[N], bad_cond).
+    """
+    pix, J = project_stereo_with_jacobian(cam, lmks, delta_pose)
+
+    r = obs - pix                                  # [N,4] observation - prediction
+    s = jnp.sum(r * r, axis=-1)                    # [N] squared residual
+
+    # mask out invalid Jacobians (reference m_jacobian_is_good, h:919-928)
+    jac_ok = jnp.all(jnp.isfinite(J), axis=(1, 2)) & jnp.all(jnp.isfinite(pix), axis=1)
+    m = mask & jac_ok
+    mf = m.astype(J.dtype)
+
+    if params.use_robust_kernel:
+        b2 = params.kernel_param * params.kernel_param
+        n = jnp.sqrt(1.0 + s / b2)
+        rho_p = 1.0 / n                            # pseudo-Huber derivative
+        fi = b2 * (n - 1.0)
+    else:
+        rho_p = jnp.ones_like(s)
+        fi = 0.5 * s
+
+    cost = jnp.sum(jnp.where(m, fi, 0.0))
+
+    # g = sum rho' * J^T r ; H = sum [rho'] J^T J  (reference :363-369 weights
+    # only g; with irls_hessian_weighting we use proper IRLS — same fixed
+    # point, far better-conditioned steps; see LeastSquaresParams docs)
+    g = jnp.einsum("n,nij,ni->j", mf * rho_p, J, r)
+    h_w = mf * rho_p if params.irls_hessian_weighting else mf
+    H = jnp.einsum("n,nij,nik->jk", h_w, J, J)
+
+    # SVD least-squares solve mirroring Eigen::JacobiSVD (reference :375-388)
+    U, S, Vt = jnp.linalg.svd(H, full_matrices=False)
+    cond = S[0] / jnp.where(S[5] <= 0.0, jnp.nan, S[5])
+    bad_cond = ~jnp.isfinite(cond) | (cond > _COND_MAX)
+    S_inv = jnp.where(S > S[0] * 1e-9, 1.0 / jnp.where(S > 0, S, 1.0), 0.0)
+    dx = Vt.T @ (S_inv * (U.T @ g))
+
+    # masked-out slots report +inf residual (reference resizes out_residual to
+    # double::max, :296) so the outlier cut removes them consistently.
+    s_out = jnp.where(m, s, jnp.finfo(s.dtype).max)
+    return dx, cost, s_out, bad_cond
+
+
+def _gn_phase(cam, lmks, obs, mask, delta_pose0, max_iters, timesInc0,
+              params: LeastSquaresParams, incr_cost_code):
+    """One of the two GN loops (reference :549-598 and :650-700) as lax.while_loop."""
+
+    def cond_fn(carry):
+        it, _dp, _pc, _ti, done, abort, _res, _ec, _cost = carry
+        return (it < max_iters) & ~done & ~abort
+
+    def body_fn(carry):
+        it, dp, pCost, timesInc, done, abort, _res, ec, _cost = carry
+        dx, cCost, res, bad_cond = _eval_rgn(cam, lmks, obs, mask, dp, params)
+
+        abort_cond = bad_cond
+        ec = jnp.where(abort_cond, VOEC_BAD_COND_NUMBER, ec)
+
+        dp_new = jnp.where(abort_cond, dp, dp + dx)
+
+        # ending conditions (evaluated from iteration 1 onward, reference :580-596)
+        step_norm = jnp.sqrt(jnp.sum(dx * dx))
+        done_new = (it > 0) & (step_norm < params.min_mod_out_vector)
+        cost_increased = (it > 0) & (pCost < cCost)
+        timesInc_new = timesInc + jnp.where(cost_increased, 1, 0)
+        too_many_incr = timesInc_new > params.max_incr_cost
+        ec = jnp.where(too_many_incr & ~abort_cond, incr_cost_code, ec)
+        abort_new = abort_cond | too_many_incr
+
+        return (it + 1, dp_new, cCost, timesInc_new, done_new, abort_new, res,
+                ec, cCost)
+
+    N = obs.shape[0]
+    init = (
+        jnp.int32(0), delta_pose0, jnp.float32(0.0), jnp.int32(timesInc0),
+        jnp.bool_(False), jnp.bool_(False),
+        jnp.full((N,), jnp.finfo(jnp.float32).max, dtype=jnp.float32),
+        jnp.int32(VOEC_NONE), jnp.float32(0.0),
+    )
+    it, dp, _pc, timesInc, _done, abort, res, ec, cost = lax.while_loop(
+        cond_fn, body_fn, init
+    )
+    return it, dp, timesInc, abort, res, ec, cost
+
+
+def solve_pose(
+    cam: StereoCamera,
+    prev_obs: jnp.ndarray,     # [N,4] (uL,vL,uR,vR) in the previous frame
+    cur_obs: jnp.ndarray,      # [N,4] (uL,vL,uR,vR) in the current frame
+    mask: jnp.ndarray,         # [N] bool: valid tracked pair
+    params: LeastSquaresParams,
+    initial_pose: jnp.ndarray | None = None,   # [6] warm start (w,t)
+) -> PoseSolveResult:
+    """Full two-phase robust GN pose solve on tracked stereo correspondences.
+
+    This is the public equivalent of the reference's getChangeInPose
+    (common.cpp:355-413): it takes bare correspondences, so both the engine's
+    stage 5 and external callers (SLAM layers, BA relinearization) share it.
+    `params` must be static under jit (hashable frozen dataclass).
+    """
+    N = prev_obs.shape[0]
+    dtype = jnp.float32
+    prev_obs = prev_obs.astype(dtype)
+    cur_obs = cur_obs.astype(dtype)
+
+    delta0 = (jnp.zeros(6, dtype) if initial_pose is None
+              else initial_pose.astype(dtype))
+
+    # 1. Triangulate previous-frame observations once (reference :528-544).
+    lmks = triangulate(cam, prev_obs[:, 0], prev_obs[:, 1], prev_obs[:, 2])
+
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    enough = n_valid >= 8
+
+    # Phase 1 (reference :549-598)
+    it1, dp1, timesInc, abort1, res1, ec1, _cost1 = _gn_phase(
+        cam, lmks, cur_obs, mask, delta0, params.initial_max_iters, 0, params,
+        VOEC_INCR_FUNC_COST_STG1,
+    )
+
+    # Outlier cut by residual threshold (reference :601-611)
+    inliers = mask & (res1 <= params.residual_threshold)
+    n_inliers = jnp.sum(inliers.astype(jnp.int32))
+    enough2 = n_inliers >= 8
+
+    # Phase 2 continues from the phase-1 deltaPose & timesInc (reference :650-700)
+    it2, dp2, _ti2, abort2, res2, ec2, cost2 = _gn_phase(
+        cam, lmks, cur_obs, inliers, dp1, params.max_iters, timesInc, params,
+        VOEC_INCR_FUNC_COST_STG2,
+    )
+
+    valid = enough & enough2 & ~abort1 & ~abort2
+    error_code = jnp.where(ec1 != VOEC_NONE, ec1, ec2).astype(jnp.int32)
+    delta = jnp.where(valid, dp2, dp1)
+
+    # outPose = inverse of accumulated deltaPose (reference :715-718)
+    from rso.geometry.se3 import pose_inverse
+
+    pose = pose_inverse(delta)
+    return PoseSolveResult(
+        pose=pose,
+        delta_pose=delta,
+        valid=valid,
+        error_code=error_code,
+        num_it=it1,
+        num_it_final=it2,
+        residuals=res2,
+        inliers=inliers & (res2 <= params.residual_threshold),
+        cost=cost2,
+    )
