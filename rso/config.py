@@ -77,6 +77,9 @@ class DetectParams:
     fast_min_th: int = 5
     fast_max_th: int = 30
     initial_FAST_threshold: int = 20
+    # the stage-2 call flag (reference h:1020, default false): enables the
+    # per-octave FAST threshold servo toward target_feats_per_pixel
+    update_dyn_thresholds: bool = False
 
 
 @dataclass(frozen=True)
@@ -94,6 +97,11 @@ class LeftRightMatchParams:
     max_y_diff: float = 0.0
     min_z: float = 0.3
     max_z: float = 5.0
+    # TPU extension: actually enforce the min_z/max_z depth gate as disparity
+    # bounds.  The reference declares min_z/max_z (h:497) but hardcodes the
+    # disparity window to [1, 0.7*W] (stage3:155-156 comments show the intent);
+    # off by default for reference-faithful behavior.
+    use_z_gate: bool = False
 
 
 @dataclass(frozen=True)

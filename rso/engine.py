@@ -1,0 +1,471 @@
+"""The odometry engine: FrameState pytree + one jitted per-frame step.
+
+TPU-native re-design of the reference's CStereoOdometryEstimator and its
+per-frame driver processNewImagePair (stereo_vo
+libstereo-odometry.h:147-1047, process_new_image_pair.cpp:41-385):
+
+  * all per-frame mutable state (the reference's m_prev_imgpair /
+    m_current_imgpair, ID counters, FAST thresholds, warm-start pose) lives in
+    an immutable `EngineState` pytree,
+  * `step(state, left, right) -> (state', StepResult)` runs stages 1-5 as ONE
+    compiled XLA program — rectified grayscale in, pose out,
+  * the recovery mechanism (skip the prev-frame shift on voecBadTracking /
+    voecBadCondNumber, process_new_image_pair.cpp:86-95) is a jnp.where over
+    the state pytree,
+  * match-ID bookkeeping (C20: propagation through tracking, new IDs for
+    untracked, KF max-ID) is int32 lanes updated in-graph.
+
+The host-side `Engine` wrapper owns config/camera, jit caching, and the
+python-friendly API (numpy in/out, error-code names, keyframe marking).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rso.config import DetectMethod, IFMatchMethod, RSOConfig
+from rso.frontend.detect import (
+    Features,
+    detect_features,
+    octave_budget,
+    update_fast_threshold,
+)
+from rso.frontend.pyramid import build_pyramid, to_grayscale
+from rso.frontend.stereo_match import StereoMatches, match_left_right
+from rso.frontend.track import TrackResult, track_interframe
+from rso.geometry.stereo_camera import StereoCamera
+from rso.solver.robust_gn import (
+    VOEC_BAD_TRACKING,
+    VOEC_FIRST_ITERATION,
+    VOEC_NONE,
+    PoseSolveResult,
+    solve_pose,
+)
+
+# ---------------------------------------------------------------------------
+# State pytrees
+# ---------------------------------------------------------------------------
+
+
+class OctaveData(NamedTuple):
+    """Everything the engine keeps about one octave of one frame."""
+
+    left: Features
+    right: Features
+    matches: StereoMatches
+    match_ids: jnp.ndarray  # [K] int32, -1 for invalid slots
+
+
+class FrameView(NamedTuple):
+    octaves: tuple  # tuple[OctaveData, ...] length n_octaves
+
+
+class EngineState(NamedTuple):
+    prev: FrameView
+    have_prev: jnp.ndarray        # bool scalar
+    last_match_id: jnp.ndarray    # int32 — reference m_last_match_ID
+    last_kf_max_id: jnp.ndarray   # int32 — reference m_last_kf_max_id
+    last_pose: jnp.ndarray        # [6] f32 — reference m_last_computed_pose
+    fast_th: jnp.ndarray          # [O] int32 — reference m_threshold
+    last_error: jnp.ndarray       # int32 — reference m_error
+    frame_idx: jnp.ndarray        # int32 — reference m_it_counter
+
+
+class StepResult(NamedTuple):
+    """Mirrors TStereoOdometryResult (libstereo-odometry.h:235-264)."""
+
+    pose: jnp.ndarray                   # [6] (w,t): cur frame wrt previous
+    valid: jnp.ndarray                  # bool
+    error_code: jnp.ndarray             # int32 VOEC_*
+    num_it: jnp.ndarray                 # int32
+    num_it_final: jnp.ndarray           # int32
+    detected_feats: jnp.ndarray         # [O,2] int32 (left,right)
+    stereo_matches: jnp.ndarray         # [O] int32
+    tracked_feats_from_last_frame: jnp.ndarray  # int32
+    tracked_feats_from_last_KF: jnp.ndarray     # int32
+    residuals: jnp.ndarray              # [T] f32 squared residuals
+    track_mask: jnp.ndarray             # [T] bool slots that entered stage 5
+    inliers: jnp.ndarray                # [T] bool final inlier set
+    cost: jnp.ndarray                   # f32 final robust cost
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+
+def _empty_features(k: int) -> Features:
+    return Features(
+        xy=jnp.zeros((k, 2), jnp.float32),
+        response=jnp.zeros((k,), jnp.float32),
+        valid=jnp.zeros((k,), jnp.bool_),
+        desc=jnp.zeros((k, 8), jnp.uint32),
+        patch=jnp.zeros((k, 64), jnp.float32),
+    )
+
+
+def _empty_octave(k: int) -> OctaveData:
+    return OctaveData(
+        left=_empty_features(k),
+        right=_empty_features(k),
+        matches=StereoMatches(
+            ridx=jnp.full((k,), -1, jnp.int32),
+            dist=jnp.zeros((k,), jnp.float32),
+            valid=jnp.zeros((k,), jnp.bool_),
+        ),
+        match_ids=jnp.full((k,), -1, jnp.int32),
+    )
+
+
+def init_state(cfg: RSOConfig) -> EngineState:
+    O = cfg.n_octaves
+    K = cfg.tpu.max_kps_per_octave
+    return EngineState(
+        prev=FrameView(octaves=tuple(_empty_octave(K) for _ in range(O))),
+        have_prev=jnp.bool_(False),
+        last_match_id=jnp.int32(0),
+        last_kf_max_id=jnp.int32(-1),
+        last_pose=jnp.zeros(6, jnp.float32),
+        fast_th=jnp.full((O,), cfg.detect.initial_FAST_threshold, jnp.int32),
+        last_error=jnp.int32(VOEC_NONE),
+        frame_idx=jnp.int32(0),
+    )
+
+
+def _assign_new_ids(match_valid, tracked_mask, prop_ids, last_match_id):
+    """IDs: tracked slots keep propagated ids; untracked valid matches get new
+    sequential ids (reference stage4:296-305, stage3:406-407)."""
+    need_new = match_valid & ~tracked_mask
+    rank = jnp.cumsum(need_new.astype(jnp.int32)) - 1
+    new_ids = last_match_id + rank
+    ids = jnp.where(tracked_mask, prop_ids, jnp.where(need_new, new_ids, -1))
+    return ids, last_match_id + jnp.sum(need_new.astype(jnp.int32))
+
+
+def _stage5_nms(xy, resp, mask, img_w, img_h, min_distance):
+    """Spatial decimation of the optimization set over previous-left keypoints
+    (reference stage5_optimization.cpp:463-474 -> m_non_max_sup grid method).
+
+    Parallel cell-champion formulation: grid cells of ~min_distance/2; the
+    best-response feature per cell survives unless a strictly better champion
+    occupies a 4-neighbor cell.
+    """
+    cell = max(int(min_distance / 2.0), 1)
+    gx = (xy[:, 0] / cell).astype(jnp.int32)
+    gy = (xy[:, 1] / cell).astype(jnp.int32)
+    nx = int(1 + img_w // cell) + 2
+    ny = int(1 + img_h // cell) + 2
+    n_cells = nx * ny
+    cid = jnp.clip(gy, 0, ny - 1) * nx + jnp.clip(gx, 0, nx - 1)
+    T = xy.shape[0]
+    idx = jnp.arange(T, dtype=jnp.int32)
+
+    # champion per cell: min key over (negated response, slot)
+    q_resp = jnp.clip((resp * 16.0), 0, 2 ** 20).astype(jnp.int32)
+    key = (2 ** 20 - q_resp) * T + idx
+    key = jnp.where(mask, key, jnp.int32(2 ** 31 - 1))
+    seg = jnp.where(mask, cid, n_cells)
+    best = jax.ops.segment_min(key, seg, num_segments=n_cells + 1)
+    is_champ = mask & (key == best[seg])
+
+    # champion response per cell grid (for 4-neighbor comparison)
+    champ_resp = jnp.full((n_cells + 1,), -jnp.inf, jnp.float32)
+    champ_resp = champ_resp.at[seg].max(jnp.where(is_champ, resp, -jnp.inf))
+    grid = champ_resp[: n_cells].reshape(ny, nx)
+
+    def neigh_max(g):
+        up = jnp.pad(g, ((1, 0), (0, 0)), constant_values=-jnp.inf)[:-1]
+        dn = jnp.pad(g, ((0, 1), (0, 0)), constant_values=-jnp.inf)[1:]
+        lf = jnp.pad(g, ((0, 0), (1, 0)), constant_values=-jnp.inf)[:, :-1]
+        rt = jnp.pad(g, ((0, 0), (0, 1)), constant_values=-jnp.inf)[:, 1:]
+        return jnp.maximum(jnp.maximum(up, dn), jnp.maximum(lf, rt))
+
+    stronger_neighbor = neigh_max(grid).reshape(-1)[jnp.clip(cid, 0, n_cells - 1)]
+    survive = is_champ & (resp >= stronger_neighbor)
+    return survive
+
+
+# ---------------------------------------------------------------------------
+# The jitted step
+# ---------------------------------------------------------------------------
+
+
+def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
+    """Build the jitted step function for a fixed config + image size."""
+    O = cfg.n_octaves
+    K = cfg.tpu.max_kps_per_octave
+    budgets = octave_budget(cfg.detect.orb_nfeats, O)
+    from rso.config import StereoMatchMethod
+    need_desc = (
+        cfg.detect.detect_method in (DetectMethod.ORB, DetectMethod.FAST_ORB)
+        or cfg.lr_match.match_method != StereoMatchMethod.SAD
+        or cfg.if_match.ifm_method in (IFMatchMethod.DESC_BF, IFMatchMethod.DESC_WIN)
+    )
+
+    if cfg.detect.detect_method == DetectMethod.KLT:
+        min_response = cfg.detect.minimum_KLT_response
+    elif cfg.detect.detect_method == DetectMethod.ORB:
+        min_response = cfg.detect.minimum_ORB_response
+    else:
+        min_response = 0.0  # reference stage3:188-193
+
+    def step(state: EngineState, left_img, right_img) -> tuple[EngineState, StepResult]:
+        # ---- stage 1: grayscale + pyramid (C5) -------------------------------
+        gl = to_grayscale(left_img)
+        gr = to_grayscale(right_img)
+        pyr_l = build_pyramid(gl, O)
+        pyr_r = build_pyramid(gr, O)
+
+        # ---- stage 2: detect (C6) -------------------------------------------
+        octs = []
+        new_fast_th = []
+        detected = []
+        for o in range(O):
+            th = state.fast_th[o]
+            fl = detect_features(pyr_l[o], cfg.detect, K, th, need_desc,
+                                 arc=cfg.tpu.fast_arc)
+            fr = detect_features(pyr_r[o], cfg.detect, K, th, need_desc,
+                                 arc=cfg.tpu.fast_arc)
+            # octave budget: keep only the strongest budget[o] slots
+            slot_ok = jnp.arange(K) < budgets[o]
+            fl = fl._replace(valid=fl.valid & slot_ok)
+            fr = fr._replace(valid=fr.valid & slot_ok)
+            octs.append((fl, fr))
+            detected.append(jnp.stack([jnp.sum(fl.valid.astype(jnp.int32)),
+                                       jnp.sum(fr.valid.astype(jnp.int32))]))
+            if cfg.detect.update_dyn_thresholds:
+                area = pyr_l[o].shape[0] * pyr_l[o].shape[1]
+                th = update_fast_threshold(
+                    th, jnp.sum(fl.valid.astype(jnp.int32)), area, cfg.detect)
+            new_fast_th.append(th)
+
+        # ---- stage 3: stereo match (C7) -------------------------------------
+        cur_octs = []
+        n_matches = []
+        for o in range(O):
+            fl, fr = octs[o]
+            fxb = (float(cam.fx_l) * float(cam.baseline) / (2 ** o)
+                   if cfg.lr_match.use_z_gate else None)
+            m = match_left_right(fl, fr, cfg.lr_match, pyr_l[o].shape[1],
+                                 min_response, fx_baseline=fxb)
+            cur_octs.append(OctaveData(left=fl, right=fr, matches=m,
+                                       match_ids=jnp.full((K,), -1, jnp.int32)))
+            n_matches.append(jnp.sum(m.valid.astype(jnp.int32)))
+
+        # ---- stage 4: inter-frame tracking (C8) + IDs (C20) -----------------
+        key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_idx)
+        tracks: list[TrackResult] = []
+        last_id = state.last_match_id
+        final_octs = []
+        n_tracked_total = jnp.int32(0)
+        n_tracked_kf = jnp.int32(0)
+        for o in range(O):
+            p = state.prev.octaves[o]
+            c = cur_octs[o]
+            trk = track_interframe(
+                p.left, p.right, p.matches,
+                c.left, c.right, c.matches,
+                cfg.if_match, jax.random.fold_in(key, o),
+                ransac_iters=cfg.tpu.ransac_iters,
+                ransac_threshold=cfg.tpu.ransac_threshold,
+            )
+            # no previous frame -> nothing tracked
+            trk_valid = trk.valid & state.have_prev
+            trk_idx = jnp.where(trk_valid, trk.cur_idx, -1)
+            trk = TrackResult(cur_idx=trk_idx, valid=trk_valid,
+                              n_tracked=jnp.sum(trk_valid.astype(jnp.int32)))
+            tracks.append(trk)
+            n_tracked_total = n_tracked_total + trk.n_tracked
+
+            # ID propagation: scatter prev ids to tracked cur slots
+            safe_cur = jnp.maximum(trk.cur_idx, 0)
+            tracked_mask_cur = jnp.zeros((K,), jnp.bool_).at[safe_cur].set(
+                trk.valid, mode="drop")
+            prop_ids = jnp.full((K,), -1, jnp.int32).at[safe_cur].set(
+                jnp.where(trk.valid, p.match_ids, -1), mode="drop")
+            ids, last_id = _assign_new_ids(
+                c.matches.valid, tracked_mask_cur, prop_ids, last_id)
+            final_octs.append(c._replace(match_ids=ids))
+            n_tracked_kf = n_tracked_kf + jnp.sum(
+                ((ids >= 0) & (ids <= state.last_kf_max_id)).astype(jnp.int32))
+
+        cur_view = FrameView(octaves=tuple(final_octs))
+
+        # ---- stage 4.1: robustness gate (C9) --------------------------------
+        bad_tracking = state.have_prev & (
+            n_tracked_total < cfg.least_squares.bad_tracking_th)
+
+        # ---- stage 5: gather tracks, NMS, solve (C10-C13) -------------------
+        prev_obs_l, cur_obs_l, resp_l, mask_l, w_l = [], [], [], [], []
+        for o in range(O):
+            p = state.prev.octaves[o]
+            c = final_octs[o]
+            trk = tracks[o]
+            # octave -> full-res mapping.  The 2x2-mean pyramid puts octave-o
+            # pixel centers at 2^o*x + (2^o-1)/2 full-res (the reference's
+            # bare *=2^o scaling, stage5_optimization.cpp:422, carries a
+            # half-pixel-per-level bias we correct here).
+            scale = float(2 ** o)
+            shift = (scale - 1.0) / 2.0
+
+            p_ridx = jnp.maximum(p.matches.ridx, 0)
+            pR_xy = p.right.xy[p_ridx]
+            prev_obs = jnp.concatenate(
+                [p.left.xy, pR_xy[:, :1], pR_xy[:, 1:2]], axis=1) * scale + shift
+
+            safe_c = jnp.maximum(trk.cur_idx, 0)
+            cL_xy = c.left.xy[safe_c]
+            c_ridx = jnp.maximum(c.matches.ridx[safe_c], 0)
+            cR_xy = c.right.xy[c_ridx]
+            cur_obs = jnp.concatenate(
+                [cL_xy, cR_xy[:, :1], cR_xy[:, 1:2]], axis=1) * scale + shift
+
+            prev_obs_l.append(prev_obs)
+            cur_obs_l.append(cur_obs)
+            resp_l.append(p.left.response)
+            mask_l.append(trk.valid)
+            # octave-o pixel noise is 2^o x larger at full-res: weight 1/4^o
+            w_l.append(jnp.full((K,), 1.0 / (scale * scale), jnp.float32))
+
+        prev_obs = jnp.concatenate(prev_obs_l)   # [T,4]
+        cur_obs = jnp.concatenate(cur_obs_l)
+        resp = jnp.concatenate(resp_l)
+        tmask = jnp.concatenate(mask_l)
+        obs_w = jnp.concatenate(w_l)
+
+        nms_keep = _stage5_nms(prev_obs[:, :2], resp, tmask, img_w, img_h,
+                               cfg.detect.min_distance)
+        smask = tmask & nms_keep
+
+        init_pose = jnp.where(
+            cfg.least_squares.use_previous_pose_as_initial,
+            state.last_pose, jnp.zeros(6, jnp.float32))
+        sol = solve_pose(cam, prev_obs, cur_obs, smask, cfg.least_squares,
+                         initial_pose=init_pose, obs_weight=obs_w)
+
+        # ---- error codes & result -------------------------------------------
+        first = ~state.have_prev
+        error_code = jnp.where(
+            first, VOEC_FIRST_ITERATION,
+            jnp.where(bad_tracking, VOEC_BAD_TRACKING, sol.error_code),
+        ).astype(jnp.int32)
+        valid = sol.valid & ~bad_tracking & ~first
+
+        result = StepResult(
+            pose=jnp.where(valid, sol.pose, jnp.zeros(6, jnp.float32)),
+            valid=valid,
+            error_code=error_code,
+            num_it=sol.num_it,
+            num_it_final=sol.num_it_final,
+            detected_feats=jnp.stack(detected),
+            stereo_matches=jnp.stack(n_matches),
+            tracked_feats_from_last_frame=n_tracked_total,
+            tracked_feats_from_last_KF=n_tracked_kf,
+            residuals=sol.residuals,
+            track_mask=smask,
+            inliers=sol.inliers,
+            cost=sol.cost,
+        )
+
+        # ---- state shift (C2 recovery semantics) ----------------------------
+        # only voecBadTracking and voecBadCondNumber skip the prev-frame shift
+        # (process_new_image_pair.cpp:86-89); cost-increase aborts still shift
+        from rso.solver.robust_gn import VOEC_BAD_COND_NUMBER
+        keep_prev = (bad_tracking | (
+            (sol.error_code == VOEC_BAD_COND_NUMBER) & state.have_prev)) & ~first
+
+        new_prev = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(keep_prev, old, new), cur_view,
+            state.prev)
+        new_last_pose = jnp.where(
+            valid & cfg.least_squares.use_previous_pose_as_initial
+            & (not cfg.least_squares.use_custom_initial_pose),
+            sol.delta_pose, state.last_pose)
+
+        new_state = EngineState(
+            prev=new_prev,
+            have_prev=jnp.bool_(True),
+            last_match_id=last_id,
+            last_kf_max_id=state.last_kf_max_id,
+            last_pose=new_last_pose,
+            fast_th=jnp.stack(new_fast_th),
+            last_error=error_code,
+            frame_idx=state.frame_idx + 1,
+        )
+        return new_state, result
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper
+# ---------------------------------------------------------------------------
+
+
+class Engine:
+    """Host-facing engine: owns config + camera, jit-caches step per image size.
+
+    Public API mirrors the reference class (processNewImagePair ->
+    process_frame, setThisFrameAsKF, resetIds, saveStateToFile ->
+    rso.io.checkpoint).
+    """
+
+    def __init__(self, cfg: RSOConfig, cam: StereoCamera):
+        self.cfg = cfg
+        self.cam = cam
+        self.state: EngineState | None = None
+        self._step_cache: dict[tuple[int, int], object] = {}
+
+    def _get_step(self, h: int, w: int):
+        if (h, w) not in self._step_cache:
+            self._step_cache[(h, w)] = jax.jit(
+                make_step(self.cfg, self.cam, h, w))
+        return self._step_cache[(h, w)]
+
+    def process_frame(self, left_img, right_img) -> StepResult:
+        """Run one frame through the pipeline; updates internal state."""
+        left_img = jnp.asarray(left_img)
+        right_img = jnp.asarray(right_img)
+        h, w = left_img.shape[:2]
+        if self.state is None:
+            self.state = init_state(self.cfg)
+        step = self._get_step(h, w)
+        self.state, result = step(self.state, left_img, right_img)
+        return result
+
+    def set_this_frame_as_kf(self):
+        """Record the max match ID as the KF watermark (reference
+        setThisFrameAsKF, h:675-685)."""
+        assert self.state is not None
+        max_id = jnp.int32(-1)
+        for o in self.state.prev.octaves:
+            max_id = jnp.maximum(max_id, jnp.max(o.match_ids))
+        self.state = self.state._replace(last_kf_max_id=max_id)
+
+    def reset_ids(self):
+        """Renumber current matches 0..N-1 and mark this frame as KF
+        (reference resetIds + the m_reset block,
+        process_new_image_pair.cpp:254-267)."""
+        assert self.state is not None
+        last = jnp.int32(0)
+        new_octs = []
+        for o in self.state.prev.octaves:
+            valid = o.match_ids >= 0
+            rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+            ids = jnp.where(valid, rank + last, -1)
+            last = last + jnp.sum(valid.astype(jnp.int32))
+            new_octs.append(o._replace(match_ids=ids))
+        self.state = self.state._replace(
+            prev=FrameView(octaves=tuple(new_octs)),
+            last_match_id=last,
+            last_kf_max_id=last - 1,
+        )
+
+    def reset(self):
+        self.state = None

@@ -1,0 +1,380 @@
+"""Stage 2: feature detection, response, NMS, top-K, descriptors, patches.
+
+TPU-native re-design of the reference's stage2_detect_features (stereo_vo
+stage2_detect.cpp:385-671).  The reference's four detector modes map to:
+
+  dmFASTER  -> dense FAST-N corner test + Shi-Tomasi (KLT) response filter
+               (reference :519-576 computes KLT_response over FASTER corners)
+  dmFAST_ORB-> same corner test + oriented-BRIEF descriptors
+  dmORB     -> FAST + Harris-style response + oriented-BRIEF on 1 octave
+  dmKLT     -> dense Shi-Tomasi response, no descriptor (goodFeaturesToTrack)
+
+Everything is dense, fixed-shape and branch-free: the corner test runs over
+the whole image as 16 shifted comparisons, NMS is a windowed max compare, and
+the dynamic per-feature count becomes top-K with a validity mask (the
+shape-stable replacement for the FAST threshold servo; the servo itself is
+still carried as engine state and applied as a traced threshold).
+
+Descriptors are 256-bit oriented BRIEF packed into uint32[8] words (Hamming
+distance = XOR + population count on the VPU).  The sampling pattern is a
+fixed seeded Gaussian pair set (classic BRIEF); it is *self-consistent* (the
+framework matches its own descriptors) rather than bit-compatible with
+OpenCV's learned ORB pattern.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rso.config import DetectMethod, DetectParams
+
+# ---------------------------------------------------------------------------
+# FAST circle (radius-3 Bresenham, the canonical 16 offsets) as (dx, dy)
+# ---------------------------------------------------------------------------
+_FAST_OFFSETS = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1),
+        (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1),
+        (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+    ],
+    dtype=np.int32,
+)
+
+# BRIEF pattern: 256 coordinate pairs, fixed seed, Gaussian sigma=5 clipped to
+# a radius-12 disc so any rotation stays inside a 37x37 patch.
+_BRIEF_N = 256
+_PATCH = 37           # descriptor patch side (center at 18)
+_PATCH_R = _PATCH // 2
+_ORIENT_R = 15        # intensity-centroid radius (ORB uses 15)
+
+
+def _make_brief_pattern() -> np.ndarray:
+    r = np.random.default_rng(0x5EED)
+    pts = r.normal(0.0, 5.0, size=(_BRIEF_N, 2, 2))
+    pts = np.clip(pts, -12.0, 12.0)
+    return pts.astype(np.float32)  # [256, 2(pair), 2(xy)]
+
+
+_BRIEF_PATTERN = _make_brief_pattern()
+
+
+class Features(NamedTuple):
+    """Fixed-capacity feature set for one image at one octave."""
+
+    xy: jnp.ndarray        # [K,2] f32 pixel coords (octave scale)
+    response: jnp.ndarray  # [K] f32
+    valid: jnp.ndarray     # [K] bool
+    desc: jnp.ndarray      # [K,8] uint32 packed 256-bit BRIEF
+    patch: jnp.ndarray     # [K,64] f32 flattened 8x8 SAD patch
+
+
+# ---------------------------------------------------------------------------
+# Dense responses
+# ---------------------------------------------------------------------------
+
+def _shift2d(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """Shift so out[y,x] = img[y+dy, x+dx], zero-padded."""
+    return jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+
+
+def fast_corner_mask(img: jnp.ndarray, threshold: jnp.ndarray, arc: int = 12) -> jnp.ndarray:
+    """Dense FAST-N segment test: [H,W] bool.
+
+    A pixel is a corner if >= `arc` contiguous circle pixels are all brighter
+    than center+t or all darker than center-t (FASTER-12 equivalent of the
+    reference's detectFeatures_SSE2_FASTER12, stage2_detect.cpp:527).
+    `threshold` may be a traced scalar (the dynamic servo state).
+    """
+    t = threshold.astype(img.dtype)
+    neigh = jnp.stack([_shift2d(img, int(dx), int(dy)) for dx, dy in _FAST_OFFSETS])
+    bright = neigh > (img + t)[None]
+    dark = neigh < (img - t)[None]
+
+    def has_arc(b):
+        # circular: append first arc-1 entries, then AND over each window
+        bb = jnp.concatenate([b, b[: arc - 1]], axis=0).astype(jnp.int32)
+        # windowed product via cumulative sum of logs is overkill; unrolled AND
+        acc = jnp.ones_like(img, dtype=jnp.bool_)
+        out = jnp.zeros_like(img, dtype=jnp.bool_)
+        for s in range(16):
+            w = bb[s : s + arc]
+            out = out | (jnp.sum(w, axis=0) == arc)
+        return out
+
+    corner = has_arc(bright) | has_arc(dark)
+    # zero out the 3px wrap-around border introduced by roll
+    H, W = img.shape
+    ys = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    border = (xs >= 3) & (xs < W - 3) & (ys >= 3) & (ys < H - 3)
+    return corner & border
+
+
+def _box_sum(img: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Sum over a (2r+1)^2 window via integral image (exact, two cumsums)."""
+    H, W = img.shape
+    ii = jnp.pad(img, ((1, 0), (1, 0))).cumsum(0).cumsum(1)  # [H+1, W+1]
+    ii = jnp.pad(ii, ((r, r), (r, r)), mode="edge")
+    s = 2 * r + 1
+    # window sum at (y,x) = ii[y+s, x+s] - ii[y, x+s] - ii[y+s, x] + ii[y, x]
+    a = ii[s:, s:][:H, :W]
+    b = ii[:-s, s:][:H, :W]
+    c = ii[s:, :-s][:H, :W]
+    d = ii[:-s, :-s][:H, :W]
+    return a - b - c + d
+
+
+def shi_tomasi_response(img: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Dense KLT (min-eigenvalue) response — the reference's per-feature
+    CImage::KLT_response (stage2_detect.cpp:566) computed for every pixel at
+    once: structure tensor over a (2*win+1)^2 window, lambda_min.
+    """
+    gx = (_shift2d(img, 1, 0) - _shift2d(img, -1, 0)) * 0.5
+    gy = (_shift2d(img, 0, 1) - _shift2d(img, 0, -1)) * 0.5
+    n = float((2 * win + 1) ** 2)
+    gxx = _box_sum(gx * gx, win) / n
+    gyy = _box_sum(gy * gy, win) / n
+    gxy = _box_sum(gx * gy, win) / n
+    tr_half = 0.5 * (gxx + gyy)
+    det_term = jnp.sqrt(jnp.maximum(0.25 * (gxx - gyy) ** 2 + gxy * gxy, 0.0))
+    return tr_half - det_term
+
+
+def harris_response(img: jnp.ndarray, win: int = 3, k: float = 0.04) -> jnp.ndarray:
+    """Dense Harris score (ORB's HARRIS_SCORE ordering)."""
+    gx = (_shift2d(img, 1, 0) - _shift2d(img, -1, 0)) * 0.5
+    gy = (_shift2d(img, 0, 1) - _shift2d(img, 0, -1)) * 0.5
+    gxx = _box_sum(gx * gx, win)
+    gyy = _box_sum(gy * gy, win)
+    gxy = _box_sum(gx * gy, win)
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    return det - k * tr * tr
+
+
+# ---------------------------------------------------------------------------
+# NMS + top-K selection
+# ---------------------------------------------------------------------------
+
+def nms_grid(response: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Windowed-maximum non-maximal suppression: keep pixels that are the
+    maximum of their (2*radius+1)^2 neighborhood.
+
+    Parallel equivalent of the reference's greedy occupancy-grid suppression
+    (stage2_detect.cpp:296-370) — same spatial decimation contract (no two
+    survivors closer than ~radius), order-free so it vectorizes.
+    """
+    r = max(int(radius), 1)
+    wmax = lax.reduce_window(
+        response, -jnp.inf, lax.max,
+        window_dimensions=(2 * r + 1, 2 * r + 1),
+        window_strides=(1, 1), padding="SAME",
+    )
+    return response >= wmax
+
+
+def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
+                min_response: float | jnp.ndarray = 0.0,
+                subpixel: bool = True):
+    """Top-K peaks of a masked dense response map -> (xy [K,2], resp [K], valid [K]).
+
+    With subpixel=True, peak positions are refined by a 1D quadratic fit per
+    axis on the response surface (clamped to +-0.5 px) — accuracy the integer
+    FASTER path of the reference lacks; stage-3/4 row logic rounds coords so
+    the reference's integer-row semantics are preserved.
+    """
+    H, W = response.shape
+    masked = jnp.where(keep_mask, response, -jnp.inf)
+    vals, idx = lax.top_k(masked.reshape(-1), k)
+    yi = (idx // W).astype(jnp.int32)
+    xi = (idx % W).astype(jnp.int32)
+    valid = jnp.isfinite(vals) & (vals > min_response)
+    xs = xi.astype(jnp.float32)
+    ys = yi.astype(jnp.float32)
+    if subpixel:
+        def parab(vm, v0, vp):
+            denom = vm - 2.0 * v0 + vp
+            off = jnp.where(jnp.abs(denom) > 1e-6,
+                            0.5 * (vm - vp) / jnp.where(jnp.abs(denom) > 1e-6,
+                                                        denom, 1.0), 0.0)
+            return jnp.clip(off, -0.5, 0.5)
+
+        # neighbors must be finite response (corner-masked map has -inf holes)
+        resp_f = jnp.where(jnp.isfinite(response), response, 0.0)
+        xm = jnp.clip(xi - 1, 0, W - 1); xp = jnp.clip(xi + 1, 0, W - 1)
+        ym = jnp.clip(yi - 1, 0, H - 1); yp = jnp.clip(yi + 1, 0, H - 1)
+        v0 = resp_f[yi, xi]
+        dx = parab(resp_f[yi, xm], v0, resp_f[yi, xp])
+        dy = parab(resp_f[ym, xi], v0, resp_f[yp, xi])
+        xs = xs + jnp.where(valid, dx, 0.0)
+        ys = ys + jnp.where(valid, dy, 0.0)
+    xy = jnp.stack([xs, ys], axis=-1)
+    return xy, jnp.where(valid, vals, 0.0), valid
+
+
+# ---------------------------------------------------------------------------
+# Patches & descriptors
+# ---------------------------------------------------------------------------
+
+def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, size: int = 8,
+                    offset: int = 3) -> jnp.ndarray:
+    """Gather size x size patches at integer keypoint coords -> [K, size*size].
+
+    The 8x8 SAD patch window is (x-3..x+4, y-3..y+4) exactly like the
+    reference's compute_SAD8 (compute_SAD8.cpp:71-97).  Coords are clamped to
+    the image; border validity is the caller's mask.
+    """
+    H, W = img.shape
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - offset, 0, W - size)
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - offset, 0, H - size)
+
+    def one(x, y):
+        return lax.dynamic_slice(img, (y, x), (size, size)).reshape(-1)
+
+    return jax.vmap(one)(x0, y0)
+
+
+def orb_orientation(patch31: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle of a [31,31] patch (ORB's orientation)."""
+    r = _ORIENT_R
+    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
+    circle = (xs * xs + ys * ys) <= r * r
+    wx = jnp.asarray((xs * circle).astype(np.float32))
+    wy = jnp.asarray((ys * circle).astype(np.float32))
+    m10 = jnp.sum(patch31 * wx)
+    m01 = jnp.sum(patch31 * wy)
+    return jnp.arctan2(m01, m10)
+
+
+def _bilinear_patch_sample(patch: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Bilinear sample a [P,P] patch at float coords (origin = patch center)."""
+    P = patch.shape[0]
+    c = (P - 1) / 2.0
+    xf = jnp.clip(x + c, 0.0, P - 1.001)
+    yf = jnp.clip(y + c, 0.0, P - 1.001)
+    x0 = xf.astype(jnp.int32)
+    y0 = yf.astype(jnp.int32)
+    fx = xf - x0
+    fy = yf - y0
+    Ia = patch[y0, x0]
+    Ib = patch[y0, x0 + 1]
+    Ic = patch[y0 + 1, x0]
+    Id = patch[y0 + 1, x0 + 1]
+    return (Ia * (1 - fx) + Ib * fx) * (1 - fy) + (Ic * (1 - fx) + Id * fx) * fy
+
+
+def orb_descriptors(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Oriented-BRIEF 256-bit descriptors, packed uint32 [K,8].
+
+    Per keypoint: extract a 37x37 patch, compute the intensity-centroid
+    orientation on its central 31x31, rotate the BRIEF pair pattern by it and
+    compare bilinear samples.  This is the TPU formulation of the reference's
+    cv::ORB describe step (stage2_detect.cpp:480-493): gathers stay inside a
+    VMEM-resident patch instead of scattering across the image.
+    """
+    pattern = jnp.asarray(_BRIEF_PATTERN)  # [256,2,2]
+
+    def one(kp):
+        H, W = img.shape
+        x0 = jnp.clip(jnp.round(kp[0]).astype(jnp.int32) - _PATCH_R, 0, W - _PATCH)
+        y0 = jnp.clip(jnp.round(kp[1]).astype(jnp.int32) - _PATCH_R, 0, H - _PATCH)
+        patch = lax.dynamic_slice(img, (y0, x0), (_PATCH, _PATCH))
+        center = patch[3:34, 3:34]  # 31x31
+        theta = orb_orientation(center)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        # rotate all pattern points
+        px = pattern[..., 0] * c - pattern[..., 1] * s  # [256,2]
+        py = pattern[..., 0] * s + pattern[..., 1] * c
+        v = _bilinear_patch_sample(patch, px.reshape(-1), py.reshape(-1)).reshape(_BRIEF_N, 2)
+        bits = (v[:, 0] < v[:, 1]).astype(jnp.uint32)  # [256]
+        weights = jnp.asarray((2 ** np.arange(32)).astype(np.uint32))
+        return jnp.sum(bits.reshape(8, 32) * weights[None, :], axis=1, dtype=jnp.uint32)
+
+    return jax.vmap(one)(xy)
+
+
+# ---------------------------------------------------------------------------
+# Full stage-2 per image per octave
+# ---------------------------------------------------------------------------
+
+def octave_budget(orb_nfeats: int, n_octaves: int) -> list[int]:
+    """Per-octave target feature counts (reference stage2_detect.cpp:405-407):
+    k0 = nfeats * 2*O / (2^O - 1), k_o = k0 / 2^o."""
+    if n_octaves == 1:
+        return [orb_nfeats]
+    k0 = int(orb_nfeats * (2 * n_octaves) / (2 ** n_octaves - 1))
+    return [max(1, int(round(k0 / 2 ** o))) for o in range(n_octaves)]
+
+
+def detect_features(
+    img: jnp.ndarray,
+    params: DetectParams,
+    k_slots: int,
+    fast_threshold: jnp.ndarray,
+    need_desc: bool,
+    arc: int = 12,
+) -> Features:
+    """Detect up to k_slots features on one octave image.
+
+    `fast_threshold` is traced (the dynamic servo state lives in the engine);
+    everything else is static config.
+    """
+    H, W = img.shape
+    method = params.detect_method
+
+    if method == DetectMethod.KLT:
+        resp = shi_tomasi_response(img, params.KLT_win)
+        keep = nms_grid(resp, params.min_distance)
+        min_resp = params.minimum_KLT_response
+    elif method == DetectMethod.ORB:
+        corner = fast_corner_mask(img, fast_threshold, arc=9 if arc == 12 else arc)
+        resp = jnp.where(corner, harris_response(img), -jnp.inf)
+        keep = nms_grid(resp, params.min_distance) & corner
+        min_resp = params.minimum_ORB_response
+    else:  # FASTER / FAST_ORB: FAST corners ranked by KLT response
+        corner = fast_corner_mask(img, fast_threshold, arc=arc)
+        resp = jnp.where(corner, shi_tomasi_response(img, params.KLT_win), -jnp.inf)
+        keep = nms_grid(resp, params.min_distance) & corner
+        min_resp = (params.minimum_KLT_response
+                    if method == DetectMethod.FASTER else 0.0)
+
+    if not params.non_maximal_suppression:
+        keep = jnp.ones_like(keep) if method == DetectMethod.KLT else (
+            resp > -jnp.inf)
+
+    # border margin: SAD patches need 4px; descriptors need the 37x37 patch
+    margin = _PATCH_R + 1 if need_desc else max(4, params.KLT_win + 1)
+    ys = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inb = (xs >= margin) & (xs < W - margin) & (ys >= margin) & (ys < H - margin)
+    keep = keep & inb
+
+    xy, resp_k, valid = select_topk(resp, keep, k_slots, min_resp)
+    xy = jnp.where(valid[:, None], xy, 0.0)
+
+    patch = extract_patches(img, xy)
+    if need_desc:
+        desc = orb_descriptors(img, xy)
+        desc = jnp.where(valid[:, None], desc, 0)
+    else:
+        desc = jnp.zeros((k_slots, 8), dtype=jnp.uint32)
+    return Features(xy=xy, response=resp_k, valid=valid, desc=desc,
+                    patch=jnp.where(valid[:, None], patch, 0.0))
+
+
+def update_fast_threshold(threshold: jnp.ndarray, n_feats: jnp.ndarray,
+                          img_area: int, params: DetectParams) -> jnp.ndarray:
+    """The FAST threshold servo (reference stage2_detect.cpp:537-550):
+    track target_feats_per_pixel by +-1 steps, clamped to [1, inf)."""
+    density = n_feats.astype(jnp.float32) / float(img_area)
+    lo = density < 0.8 * params.target_feats_per_pixel
+    hi = density > 1.2 * params.target_feats_per_pixel
+    thr = jnp.where(lo, jnp.maximum(1, threshold - 1),
+                    jnp.where(hi, threshold + 1, threshold))
+    return thr

@@ -1,0 +1,166 @@
+"""Stage 3: left<->right stereo matching as one masked distance matrix.
+
+TPU-native re-design of the reference's stage3_match_left_right (stereo_vo
+stage3_match_left_right.cpp:62-484).  The row-bucketed triple loop
+(rows x left-feats x right-feats-in-window) becomes a dense [K,K] cost matrix
+with additive masks — mathematically the same acceptance rules, MXU/VPU shaped:
+
+  * epipolar constraint  |yL - yR| <= max_y_diff      (:254-256 row window)
+  * disparity constraint 1 <= xL - xR <= 0.7*W        (:247, :283-285)
+  * response filter      resp >= minimum_response     (:279-280)
+  * border filter for SAD patches                     (:289-295)
+  * distance threshold   dist <= max_distance         (:334)
+  * ratio test           best/second <= max_ratio     (:347-349, SAD mode)
+  * right-feature arbitration: keep FIRST (scan order) or BEST (robust
+    1-to-1) left match per right feature               (:357-388)
+
+Output is *left-slot aligned*: slot l holds the right index matched to left
+feature l (or -1).  This replaces the reference's compacted DMatch list — a
+fixed-shape, jit-stable encoding of the same data (at most one match per left
+feature holds there too, by construction of its loop).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rso.config import LeftRightMatchParams, StereoMatchMethod
+from rso.frontend.detect import Features
+
+_BIG = jnp.float32(1e9)
+
+
+class StereoMatches(NamedTuple):
+    ridx: jnp.ndarray   # [K] int32: right-feature index matched to left slot, -1 if none
+    dist: jnp.ndarray   # [K] f32 match distance
+    valid: jnp.ndarray  # [K] bool
+
+
+def sad_matrix(patches_a: jnp.ndarray, patches_b: jnp.ndarray) -> jnp.ndarray:
+    """[Ka,64] x [Kb,64] -> [Ka,Kb] sum of absolute differences.
+
+    Batched form of compute_SAD8 (reference compute_SAD8.cpp:71-97) over all
+    feature pairs at once.
+    """
+    return jnp.sum(
+        jnp.abs(patches_a[:, None, :] - patches_b[None, :, :]), axis=-1
+    )
+
+
+def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """[Ka,8]u32 x [Kb,8]u32 -> [Ka,Kb] f32 Hamming distance.
+
+    XOR + population count — the reference's Wegner popcount loop
+    (stage3_match_left_right.cpp:320-332) as two VPU ops.
+    """
+    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(lax.population_count(x), axis=-1).astype(jnp.float32)
+
+
+def _arbitrate_right(cand_r: jnp.ndarray, cand_d: jnp.ndarray,
+                     cand_ok: jnp.ndarray, K_r: int, keep_best: bool):
+    """One-to-one right-feature arbitration.
+
+    cand_r[l]: chosen right index for left l; cand_d[l]: its distance;
+    cand_ok[l]: left l has a candidate.  Returns the surviving left mask.
+
+    keep_best=True  -> per right feature keep the lowest-distance left
+                       (reference robust 1-to-1, :369-376)
+    keep_best=False -> keep the first left in scan order (reference :381-386;
+                       scan order is row-major = increasing slot index since
+                       features are y-sorted)
+    """
+    K_l = cand_r.shape[0]
+    l_idx = jnp.arange(K_l, dtype=jnp.int32)
+    if keep_best:
+        # key encodes (distance, index) for a total order; distances are
+        # integral (SAD <= 64*255, Hamming <= 256) so key fits int32
+        key = jnp.clip(cand_d, 0, 2**20).astype(jnp.int32) * K_l + l_idx
+    else:
+        key = l_idx
+    key = jnp.where(cand_ok, key, jnp.int32(2**31 - 1))
+    seg = jnp.where(cand_ok, cand_r, K_r)  # invalid -> overflow bucket
+    best_key = jax.ops.segment_min(key, seg, num_segments=K_r + 1)
+    return cand_ok & (key == best_key[seg])
+
+
+def match_left_right(
+    left: Features,
+    right: Features,
+    params: LeftRightMatchParams,
+    img_w: int,
+    min_response: float,
+    fx_baseline: float | None = None,
+) -> StereoMatches:
+    """Stereo-match one octave's left/right feature sets.
+
+    fx_baseline = fx * baseline (octave-scaled): when given, the disparity
+    window honors params.min_z/max_z — the depth gate the reference declares
+    (TLeftRightMatchParams h:497) and sketches in comments
+    (stage3_match_left_right.cpp:155-156) but leaves hardcoded to [1, 0.7*W].
+    """
+    method = params.match_method
+    K = left.xy.shape[0]
+
+    if method == StereoMatchMethod.SAD:
+        D = sad_matrix(left.patch, right.patch)
+        max_distance = float(params.sad_max_distance)
+        use_ratio = True
+    else:  # smDescBF / smDescRbR: Hamming on descriptors
+        D = hamming_matrix(left.desc, right.desc)
+        max_distance = float(params.orb_max_distance)
+        use_ratio = False  # reference applies no ratio test on ORB paths
+
+    xl, yl = left.xy[:, 0], left.xy[:, 1]
+    xr, yr = right.xy[:, 0], right.xy[:, 1]
+
+    pair_ok = left.valid[:, None] & right.valid[None, :]
+    pair_ok &= (left.response[:, None] >= min_response) & (
+        right.response[None, :] >= min_response)
+
+    # epipolar row window (reference :254-256; BF path post-filter :162-164).
+    # Rounded rows preserve the reference's integer row-bucket semantics with
+    # subpixel keypoints.
+    dy = jnp.abs(jnp.round(yl)[:, None] - jnp.round(yr)[None, :])
+    pair_ok &= dy <= jnp.maximum(params.max_y_diff, 0.0)
+
+    # disparity window (reference :283-285 row path, :155-165 BF path)
+    disp = xl[:, None] - xr[None, :]
+    max_disp = img_w * 0.7 if method in (
+        StereoMatchMethod.SAD, StereoMatchMethod.DESC_RBR) else float(img_w)
+    pair_ok &= (disp >= 1.0) & (disp <= max_disp)
+
+    Dm = jnp.where(pair_ok & (D <= max_distance), D, _BIG)
+
+    # best + second-best per left feature
+    best_r = jnp.argmin(Dm, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(Dm, best_r[:, None], axis=1)[:, 0]
+    row2 = jnp.where(
+        jax.nn.one_hot(best_r, Dm.shape[1], dtype=jnp.bool_), _BIG, Dm)
+    second_d = jnp.min(row2, axis=1)
+
+    cand_ok = best_d < _BIG
+    if use_ratio:
+        ratio = best_d / jnp.maximum(second_d, 1e-6)
+        cand_ok &= (second_d >= _BIG) | (ratio <= params.sad_max_ratio)
+
+    # z-gate as a POST-filter on the winning match's disparity (the reference
+    # BF path filters after matching, :158-175).  Gating the search itself
+    # would silently promote a wrong second-best candidate when the true
+    # match is out of depth range.
+    if fx_baseline is not None:
+        best_disp = xl - xr[jnp.clip(best_r, 0, K - 1)]
+        min_disp_z = fx_baseline / params.max_z
+        max_disp_z = fx_baseline / max(params.min_z, 1e-6)
+        cand_ok &= (best_disp >= min_disp_z) & (best_disp <= max_disp_z)
+
+    # (reference non-robust mode keeps the FIRST scan-order claim :381-386)
+    survive = _arbitrate_right(best_r, best_d, cand_ok, K,
+                               keep_best=params.enable_robust_1to1_match)
+
+    ridx = jnp.where(survive, best_r, -1)
+    dist = jnp.where(survive, best_d, 0.0)
+    return StereoMatches(ridx=ridx, dist=dist, valid=survive)

@@ -55,7 +55,8 @@ class PoseSolveResult(NamedTuple):
     cost: jnp.ndarray           # final robust cost
 
 
-def _eval_rgn(cam: StereoCamera, lmks, obs, mask, delta_pose, params: LeastSquaresParams):
+def _eval_rgn(cam: StereoCamera, lmks, obs, mask, delta_pose, params: LeastSquaresParams,
+              obs_weight=None):
     """One GN evaluation: the reference's m_evalRGN (stage5_optimization.cpp:275-390).
 
     lmks: [N,3] triangulated previous-frame landmarks
@@ -82,11 +83,15 @@ def _eval_rgn(cam: StereoCamera, lmks, obs, mask, delta_pose, params: LeastSquar
         rho_p = jnp.ones_like(s)
         fi = 0.5 * s
 
-    cost = jnp.sum(jnp.where(m, fi, 0.0))
+    if obs_weight is not None:
+        mf = mf * obs_weight
+    cost = jnp.sum(mf * fi)
 
-    # g = sum rho' * J^T r ; H = sum [rho'] J^T J  (reference :363-369 weights
-    # only g; with irls_hessian_weighting we use proper IRLS — same fixed
-    # point, far better-conditioned steps; see LeastSquaresParams docs)
+    # g = sum w rho' * J^T r ; H = sum w [rho'] J^T J  (reference :363-369
+    # weights only g by rho'; with irls_hessian_weighting we use proper IRLS —
+    # same fixed point, far better-conditioned steps; see LeastSquaresParams
+    # docs.  obs_weight adds per-observation variance weighting, e.g. 1/4^o
+    # for octave-o features — a TPU-build improvement over the reference.)
     g = jnp.einsum("n,nij,ni->j", mf * rho_p, J, r)
     h_w = mf * rho_p if params.irls_hessian_weighting else mf
     H = jnp.einsum("n,nij,nik->jk", h_w, J, J)
@@ -105,7 +110,7 @@ def _eval_rgn(cam: StereoCamera, lmks, obs, mask, delta_pose, params: LeastSquar
 
 
 def _gn_phase(cam, lmks, obs, mask, delta_pose0, max_iters, timesInc0,
-              params: LeastSquaresParams, incr_cost_code):
+              params: LeastSquaresParams, incr_cost_code, obs_weight=None):
     """One of the two GN loops (reference :549-598 and :650-700) as lax.while_loop."""
 
     def cond_fn(carry):
@@ -114,7 +119,8 @@ def _gn_phase(cam, lmks, obs, mask, delta_pose0, max_iters, timesInc0,
 
     def body_fn(carry):
         it, dp, pCost, timesInc, done, abort, _res, ec, _cost = carry
-        dx, cCost, res, bad_cond = _eval_rgn(cam, lmks, obs, mask, dp, params)
+        dx, cCost, res, bad_cond = _eval_rgn(cam, lmks, obs, mask, dp, params,
+                                             obs_weight)
 
         abort_cond = bad_cond
         ec = jnp.where(abort_cond, VOEC_BAD_COND_NUMBER, ec)
@@ -153,6 +159,7 @@ def solve_pose(
     mask: jnp.ndarray,         # [N] bool: valid tracked pair
     params: LeastSquaresParams,
     initial_pose: jnp.ndarray | None = None,   # [6] warm start (w,t)
+    obs_weight: jnp.ndarray | None = None,     # [N] per-observation weights
 ) -> PoseSolveResult:
     """Full two-phase robust GN pose solve on tracked stereo correspondences.
 
@@ -178,7 +185,7 @@ def solve_pose(
     # Phase 1 (reference :549-598)
     it1, dp1, timesInc, abort1, res1, ec1, _cost1 = _gn_phase(
         cam, lmks, cur_obs, mask, delta0, params.initial_max_iters, 0, params,
-        VOEC_INCR_FUNC_COST_STG1,
+        VOEC_INCR_FUNC_COST_STG1, obs_weight,
     )
 
     # Outlier cut by residual threshold (reference :601-611)
@@ -189,7 +196,7 @@ def solve_pose(
     # Phase 2 continues from the phase-1 deltaPose & timesInc (reference :650-700)
     it2, dp2, _ti2, abort2, res2, ec2, cost2 = _gn_phase(
         cam, lmks, cur_obs, inliers, dp1, params.max_iters, timesInc, params,
-        VOEC_INCR_FUNC_COST_STG2,
+        VOEC_INCR_FUNC_COST_STG2, obs_weight,
     )
 
     valid = enough & enough2 & ~abort1 & ~abort2

@@ -1,0 +1,159 @@
+"""Synthetic stereo sequence generator with exact ground truth.
+
+Renders a random 3D blob field from a moving rectified stereo rig (host-side
+numpy).  Used by the test suite and the benchmark so the framework is fully
+exercisable without KITTI/EuRoC data on disk; the blobs produce FAST corners
+and locally-distinctive patches so the real detection/matching/tracking path
+runs end-to-end.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from rso.geometry.stereo_camera import StereoCamera
+
+
+def synthetic_config():
+    """RSOConfig tuned for the synthetic blob sequences.
+
+    The reference's SAD acceptance thresholds (sad_max_distance=200 for 8x8
+    u8 patches) assume real-image textures; the synthetic field has much
+    sharper gradients, so subpixel misalignment alone produces SADs in the
+    hundreds.  Scaled thresholds + a 1px epipolar tolerance.
+    """
+    import dataclasses
+    from rso.config import RSOConfig
+
+    cfg = RSOConfig()
+    return cfg.replace(
+        lr_match=dataclasses.replace(
+            cfg.lr_match, max_y_diff=1.0, sad_max_distance=4000,
+            sad_max_ratio=0.7, enable_robust_1to1_match=True,
+            use_z_gate=True, min_z=2.0, max_z=25.0),
+        if_match=dataclasses.replace(
+            cfg.if_match, sad_max_distance=4000),
+    )
+
+
+class SyntheticSequence(NamedTuple):
+    frames: list            # list of (left u8 [H,W], right u8 [H,W])
+    rel_poses: np.ndarray   # [N-1, 4, 4] ground-truth T_{prev<-cur}
+    poses: np.ndarray       # [N, 4, 4] camera-to-world
+    cam: StereoCamera
+
+
+def _rotmat(w):
+    t = np.linalg.norm(w)
+    if t < 1e-12:
+        return np.eye(3)
+    k = w / t
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(t) * K + (1 - np.cos(t)) * K @ K
+
+
+def render_frame(pts_w, intens, sizes, T_wc, cam: StereoCamera, H, W, rng=None):
+    """Render left/right u8 images of the blob field from camera pose T_wc."""
+    R = T_wc[:3, :3]
+    t = T_wc[:3, 3]
+    pts_c = (pts_w - t) @ R  # world -> camera
+
+    fx, fy = float(cam.fx_l), float(cam.fy_l)
+    cx, cy = float(cam.cx_l), float(cam.cy_l)
+    b = float(cam.baseline)
+
+    imgs = []
+    WIN = 4  # blob half-window (pixels)
+    # intens doubles as amplitude; sizes carries (a,b,theta) anisotropy params
+    for eye in (0, 1):
+        img = np.full((H, W), 128.0, dtype=np.float32)
+        X = pts_c[:, 0] - (b if eye == 1 else 0.0)
+        Y, Z = pts_c[:, 1], pts_c[:, 2]
+        vis = Z > 0.5
+        u = fx * X[vis] / Z[vis] + cx
+        v = fy * Y[vis] / Z[vis] + cy
+        Ai = intens[vis]
+        Pi = sizes[vis]  # [N,3]: sig_a, sig_b, theta
+        inb = (u >= WIN + 1) & (u < W - WIN - 1) & (v >= WIN + 1) & (v < H - WIN - 1)
+        u, v, Ai, Pi = u[inb], v[inb], Ai[inb], Pi[inb]
+        # anti-aliased anisotropic Gaussian blobs at exact subpixel centers
+        ub = np.floor(u).astype(np.int32)
+        vb = np.floor(v).astype(np.int32)
+        dyy, dxx = np.mgrid[-WIN : WIN + 1, -WIN : WIN + 1]
+        gx = ub[:, None, None] + dxx[None]       # [N,9,9]
+        gy = vb[:, None, None] + dyy[None]
+        rx = gx - u[:, None, None]
+        ry = gy - v[:, None, None]
+        ct = np.cos(Pi[:, 2])[:, None, None]
+        st = np.sin(Pi[:, 2])[:, None, None]
+        ra = rx * ct + ry * st
+        rb = -rx * st + ry * ct
+        # blob size is metric: pixel footprint scales with fx/Z like a real
+        # object, so appearance disambiguates depth (far blobs are small/dim
+        # and never alias to near ones)
+        zf = (fx / Z[vis][inb])[:, None, None]
+        sa = np.clip(Pi[:, 0][:, None, None] * zf, 0.55, 3.2)
+        sb = np.clip(Pi[:, 1][:, None, None] * zf, 0.55, 3.2)
+        fade = np.clip(Pi[:, 0][:, None, None] * zf / 0.55, None, 1.0) ** 2
+        e = (ra / sa) ** 2 + (rb / sb) ** 2
+        vals = fade * Ai[:, None, None] * np.exp(-0.5 * e)
+        np.add.at(img, (gy.ravel(), gx.ravel()), vals.ravel())
+        # mild noise so patches are not exactly flat
+        if rng is not None:
+            img += rng.normal(0, 1.0, img.shape).astype(np.float32)
+        imgs.append(np.clip(img, 0, 255).astype(np.uint8))
+    return imgs[0], imgs[1]
+
+
+def make_sequence(
+    n_frames: int = 10,
+    n_points: int = 900,
+    H: int = 240,
+    W: int = 376,
+    seed: int = 0,
+    speed: float = 0.25,
+    yaw_rate: float = 0.004,
+    cam: StereoCamera | None = None,
+) -> SyntheticSequence:
+    """Forward motion with gentle yaw through a deep random blob field."""
+    rng = np.random.default_rng(seed)
+    if cam is None:
+        cam = StereoCamera.make(fx_l=320.0, fy_l=320.0, cx_l=W / 2.0,
+                                cy_l=H / 2.0, baseline=0.4)
+
+    pts = np.stack([
+        rng.uniform(-18, 18, n_points),
+        rng.uniform(-6, 6, n_points),
+        rng.uniform(2.0, 45.0, n_points),
+    ], axis=-1)
+    # signed amplitudes (bright & dark blobs on mid-gray) and random
+    # anisotropy make each blob's 8x8 patch distinctive enough for SAD
+    amp = rng.uniform(60, 127, n_points) * rng.choice([-1.0, 1.0], n_points)
+    intens = amp.astype(np.float32)
+    # metric blob radii (meters); pixel footprint = sigma_w * fx / Z
+    sizes = np.stack([
+        rng.uniform(0.02, 0.12, n_points),
+        rng.uniform(0.02, 0.12, n_points),
+        rng.uniform(0, np.pi, n_points),
+    ], axis=-1).astype(np.float32)
+
+    poses = []
+    T = np.eye(4)
+    for i in range(n_frames):
+        poses.append(T.copy())
+        dR = _rotmat(np.array([0.0, yaw_rate, 0.0]))
+        step = np.eye(4)
+        step[:3, :3] = dR
+        step[:3, 3] = np.array([0.0, 0.0, speed])
+        T = T @ step
+    poses = np.stack(poses)
+
+    frames = [render_frame(pts, intens, sizes, poses[i], cam, H, W, rng)
+              for i in range(n_frames)]
+
+    rel = []
+    for i in range(1, n_frames):
+        rel.append(np.linalg.inv(poses[i - 1]) @ poses[i])
+    return SyntheticSequence(frames=frames, rel_poses=np.stack(rel),
+                             poses=poses, cam=cam)

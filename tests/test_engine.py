@@ -1,0 +1,124 @@
+"""Engine end-to-end tests on synthetic sequences: pose accuracy, error-code
+semantics, recovery behavior, match-ID/KF bookkeeping.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rso.engine import Engine, init_state
+from rso.geometry import pose_matrix
+from rso.solver.robust_gn import (
+    VOEC_BAD_TRACKING,
+    VOEC_FIRST_ITERATION,
+    VOEC_NONE,
+)
+from rso.synthetic import make_sequence, synthetic_config
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return make_sequence(n_frames=6, n_points=2000)
+
+
+@pytest.fixture(scope="module")
+def engine_run(seq):
+    eng = Engine(synthetic_config(), seq.cam)
+    results = [eng.process_frame(l, r) for l, r in seq.frames]
+    return eng, results
+
+
+class TestEngineE2E:
+    def test_first_frame_semantics(self, engine_run):
+        _, results = engine_run
+        r0 = results[0]
+        assert not bool(r0.valid)
+        assert int(r0.error_code) == VOEC_FIRST_ITERATION
+        assert int(np.asarray(r0.detected_feats).sum()) > 100
+
+    def test_subsequent_frames_valid(self, engine_run):
+        _, results = engine_run
+        ok = [bool(r.valid) for r in results[1:]]
+        assert sum(ok) >= len(ok) - 1  # allow at most one dropout
+
+    def test_pose_accuracy(self, seq, engine_run):
+        _, results = engine_run
+        errs = []
+        for i, r in enumerate(results):
+            if i == 0 or not bool(r.valid):
+                continue
+            est = np.asarray(pose_matrix(r.pose))
+            gt = seq.rel_poses[i - 1]
+            errs.append(np.linalg.norm(est[:3, 3] - gt[:3, 3]))
+        assert np.mean(errs) < 0.05  # <20% of the 0.25 m step
+        # rotation accuracy
+        for i, r in enumerate(results):
+            if i == 0 or not bool(r.valid):
+                continue
+            est = np.asarray(pose_matrix(r.pose))
+            gt = seq.rel_poses[i - 1]
+            cosang = (np.trace(est[:3, :3].T @ gt[:3, :3]) - 1) / 2
+            assert np.degrees(np.arccos(np.clip(cosang, -1, 1))) < 0.5
+
+    def test_counters(self, engine_run):
+        _, results = engine_run
+        for r in results[1:]:
+            assert int(r.tracked_feats_from_last_frame) >= 0
+            assert int(np.asarray(r.stereo_matches).sum()) > 30
+
+    def test_match_ids_monotonic_and_propagated(self, seq):
+        eng = Engine(synthetic_config(), seq.cam)
+        eng.process_frame(*seq.frames[0])
+        ids0 = np.asarray(eng.state.prev.octaves[0].match_ids)
+        eng.process_frame(*seq.frames[1])
+        ids1 = np.asarray(eng.state.prev.octaves[0].match_ids)
+        v0, v1 = ids0 >= 0, ids1 >= 0
+        assert v0.sum() > 20 and v1.sum() > 20
+        # propagated IDs survive: a healthy fraction of frame-1 ids existed in frame 0
+        shared = np.intersect1d(ids0[v0], ids1[v1])
+        assert len(shared) > 10
+        # uniqueness within frame
+        assert len(np.unique(ids1[v1])) == v1.sum()
+
+    def test_keyframe_watermark(self, seq):
+        eng = Engine(synthetic_config(), seq.cam)
+        eng.process_frame(*seq.frames[0])
+        eng.set_this_frame_as_kf()
+        wm = int(eng.state.last_kf_max_id)
+        assert wm >= 0
+        r = eng.process_frame(*seq.frames[1])
+        assert int(r.tracked_feats_from_last_KF) > 10
+
+    def test_reset_ids(self, seq):
+        eng = Engine(synthetic_config(), seq.cam)
+        eng.process_frame(*seq.frames[0])
+        eng.reset_ids()
+        ids = np.asarray(eng.state.prev.octaves[0].match_ids)
+        v = ids >= 0
+        assert set(ids[v]) == set(range(v.sum()))
+
+    def test_bad_tracking_recovery(self, seq):
+        """A blank frame must yield voecBadTracking and NOT consume the
+        previous frame (reference process_new_image_pair.cpp:86-95)."""
+        eng = Engine(synthetic_config(), seq.cam)
+        eng.process_frame(*seq.frames[0])
+        good_state_xy = np.asarray(eng.state.prev.octaves[0].left.xy)
+        blank = np.full_like(seq.frames[0][0], 128)
+        r = eng.process_frame(blank, blank)
+        assert not bool(r.valid)
+        assert int(r.error_code) == VOEC_BAD_TRACKING
+        # prev frame kept (recovery): state still holds the good frame
+        np.testing.assert_array_equal(
+            np.asarray(eng.state.prev.octaves[0].left.xy), good_state_xy)
+        # next good frame recovers against the retained frame
+        r2 = eng.process_frame(*seq.frames[1])
+        assert bool(r2.valid)
+
+    def test_deterministic(self, seq):
+        eng1 = Engine(synthetic_config(), seq.cam)
+        eng2 = Engine(synthetic_config(), seq.cam)
+        for (l, r) in seq.frames[:3]:
+            res1 = eng1.process_frame(l, r)
+            res2 = eng2.process_frame(l, r)
+        np.testing.assert_array_equal(np.asarray(res1.pose), np.asarray(res2.pose))

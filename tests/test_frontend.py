@@ -1,0 +1,216 @@
+"""Frontend tests: detection properties, stereo matching and tracking
+correctness on synthetic imagery (the reference's real-image property-test
+pattern, computeSAD8_unittest.cpp, applied to generated fixtures).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rso.config import RSOConfig, StereoMatchMethod
+from rso.frontend.detect import (
+    detect_features,
+    extract_patches,
+    fast_corner_mask,
+    nms_grid,
+    octave_budget,
+    orb_descriptors,
+    shi_tomasi_response,
+)
+from rso.frontend.pyramid import build_pyramid, downsample2x, to_grayscale
+from rso.frontend.stereo_match import (
+    hamming_matrix,
+    match_left_right,
+    sad_matrix,
+)
+from rso.frontend.track import track_interframe
+from rso.synthetic import make_sequence, synthetic_config
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return make_sequence(n_frames=3, n_points=1500)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return synthetic_config()
+
+
+class TestPyramid:
+    def test_grayscale_shapes(self):
+        img = np.random.default_rng(0).integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        g = to_grayscale(jnp.asarray(img))
+        assert g.shape == (64, 96) and g.dtype == jnp.float32
+
+    def test_downsample(self):
+        img = jnp.ones((64, 96), jnp.float32) * 7.0
+        d = downsample2x(img)
+        assert d.shape == (32, 48)
+        np.testing.assert_allclose(d, 7.0)
+
+    def test_pyramid_octaves(self):
+        img = jnp.zeros((240, 376), jnp.float32)
+        pyr = build_pyramid(img, 3)
+        assert [p.shape for p in pyr] == [(240, 376), (120, 188), (60, 94)]
+
+
+class TestDetect:
+    def test_fast_fires_on_blobs(self, seq):
+        img = jnp.asarray(seq.frames[0][0], jnp.float32)
+        mask = fast_corner_mask(img, jnp.int32(20))
+        assert int(mask.sum()) > 50
+
+    def test_fast_silent_on_flat(self):
+        img = jnp.full((100, 100), 77.0)
+        assert int(fast_corner_mask(img, jnp.int32(10)).sum()) == 0
+
+    def test_response_peak_on_corner(self):
+        """Shi-Tomasi response must peak at an L-corner."""
+        img = np.zeros((64, 64), np.float32)
+        img[32:, 32:] = 200.0
+        r = shi_tomasi_response(jnp.asarray(img), 4)
+        peak = np.unravel_index(np.argmax(np.asarray(r)), r.shape)
+        assert abs(peak[0] - 32) <= 3 and abs(peak[1] - 32) <= 3
+
+    def test_nms_suppresses_neighbors(self):
+        resp = jnp.zeros((32, 32)).at[10, 10].set(5.0).at[10, 12].set(4.0)
+        keep = nms_grid(resp, 3)
+        assert bool(keep[10, 10]) and not bool(keep[10, 12])
+
+    def test_detect_counts_and_validity(self, seq, cfg):
+        img = jnp.asarray(seq.frames[0][0], jnp.float32)
+        f = detect_features(img, cfg.detect, 512, jnp.int32(20), need_desc=False)
+        n = int(f.valid.sum())
+        assert 50 < n <= 512
+        xy = np.asarray(f.xy)[np.asarray(f.valid)]
+        assert xy[:, 0].min() >= 4 and xy[:, 1].min() >= 4
+
+    def test_subpixel_coords(self, seq, cfg):
+        img = jnp.asarray(seq.frames[0][0], jnp.float32)
+        f = detect_features(img, cfg.detect, 512, jnp.int32(20), need_desc=False)
+        xy = np.asarray(f.xy)[np.asarray(f.valid)]
+        frac = np.abs(xy - np.round(xy))
+        assert (frac > 1e-3).any()  # refinement produced non-integer coords
+
+    def test_octave_budget_matches_reference_formula(self):
+        # reference stage2_detect.cpp:405-407 with nfeats=500, 3 octaves
+        b = octave_budget(500, 3)
+        assert b[0] == int(500 * 6 / 7)
+        assert b[1] == round(b[0] / 2)
+        assert b[2] == round(b[0] / 4)
+
+    def test_descriptors_deterministic_and_discriminative(self, seq, cfg):
+        img = jnp.asarray(seq.frames[0][0], jnp.float32)
+        f = detect_features(img, cfg.detect, 128, jnp.int32(20), need_desc=True)
+        d1 = orb_descriptors(img, f.xy)
+        d2 = orb_descriptors(img, f.xy)
+        np.testing.assert_array_equal(d1, d2)
+        v = np.asarray(f.valid)
+        H = np.asarray(hamming_matrix(f.desc, f.desc))
+        np.testing.assert_allclose(np.diag(H), 0)
+        off = H[np.ix_(v, v)] + np.eye(v.sum()) * 999
+        assert off.min() > 10  # distinct features have distant descriptors
+
+
+class TestSAD:
+    def test_sad_local_minimum_property(self, seq):
+        """The reference's core property test (computeSAD8_unittest.cpp:20-41):
+        SAD at the true correspondence is a strict local minimum vs shifted
+        patches."""
+        img = jnp.asarray(seq.frames[0][0], jnp.float32)
+        xy = jnp.asarray([[100.0, 120.0]])
+        p0 = extract_patches(img, xy)
+        sads = {}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                p = extract_patches(img, xy + jnp.asarray([[dx, dy]]))
+                sads[(dx, dy)] = float(sad_matrix(p0, p)[0, 0])
+        assert sads[(0, 0)] == 0.0
+        for k, v in sads.items():
+            if k != (0, 0):
+                assert v > 0.0
+
+    def test_hamming_basics(self):
+        a = jnp.asarray([[0b1011, 0, 0, 0, 0, 0, 0, 0]], jnp.uint32)
+        b = jnp.asarray([[0b0010, 0, 0, 0, 0, 0, 0, 0]], jnp.uint32)
+        assert float(hamming_matrix(a, b)[0, 0]) == 2.0
+
+
+class TestStereoMatch:
+    def test_match_recovers_disparity(self, seq, cfg):
+        l, r = seq.frames[0]
+        fl = detect_features(jnp.asarray(l, jnp.float32), cfg.detect, 512,
+                             jnp.int32(20), need_desc=False)
+        fr = detect_features(jnp.asarray(r, jnp.float32), cfg.detect, 512,
+                             jnp.int32(20), need_desc=False)
+        m = match_left_right(fl, fr, cfg.lr_match, l.shape[1], 0.0)
+        n = int(m.valid.sum())
+        assert n > 40
+        v = np.asarray(m.valid)
+        xl = np.asarray(fl.xy)[v]
+        xr = np.asarray(fr.xy)[np.asarray(m.ridx)[v]]
+        disp = xl[:, 0] - xr[:, 0]
+        assert (disp >= 1).all()
+        # rounded-row epipolar semantics allow up to max_y_diff + 1 subpixel
+        assert np.abs(xl[:, 1] - xr[:, 1]).max() <= 2.0
+
+    def test_one_to_one(self, seq, cfg):
+        l, r = seq.frames[0]
+        fl = detect_features(jnp.asarray(l, jnp.float32), cfg.detect, 512,
+                             jnp.int32(20), need_desc=False)
+        fr = detect_features(jnp.asarray(r, jnp.float32), cfg.detect, 512,
+                             jnp.int32(20), need_desc=False)
+        m = match_left_right(fl, fr, cfg.lr_match, l.shape[1], 0.0)
+        ridx = np.asarray(m.ridx)[np.asarray(m.valid)]
+        assert len(np.unique(ridx)) == len(ridx)  # no right feature reused
+
+    def test_known_shift_recovered_exactly(self, seq, cfg):
+        """Right image = left rolled by +5 px: every match must recover
+        disparity 5 exactly (the controlled-geometry oracle)."""
+        l, _ = seq.frames[0]
+        r = np.roll(l, -5, axis=1)  # right eye sees features 5px to the left
+        fl = detect_features(jnp.asarray(l, jnp.float32), cfg.detect, 512,
+                             jnp.int32(20), need_desc=False)
+        fr = detect_features(jnp.asarray(r, jnp.float32), cfg.detect, 512,
+                             jnp.int32(20), need_desc=False)
+        m = match_left_right(fl, fr, cfg.lr_match, l.shape[1], 0.0)
+        assert int(m.valid.sum()) > 100
+        v = np.asarray(m.valid)
+        disp = (np.asarray(fl.xy)[v, 0]
+                - np.asarray(fr.xy)[np.asarray(m.ridx)[v], 0])
+        assert np.abs(disp - 5.0).max() < 0.35  # subpixel-exact disparity
+
+
+class TestTrack:
+    def test_tracks_static_scene(self, seq, cfg):
+        """Tracking a frame against itself: every stereo match must track to
+        itself with zero cost."""
+        l, r = seq.frames[0]
+        fl = detect_features(jnp.asarray(l, jnp.float32), cfg.detect, 512,
+                             jnp.int32(20), need_desc=False)
+        fr = detect_features(jnp.asarray(r, jnp.float32), cfg.detect, 512,
+                             jnp.int32(20), need_desc=False)
+        m = match_left_right(fl, fr, cfg.lr_match, l.shape[1], 0.0)
+        trk = track_interframe(fl, fr, m, fl, fr, m, cfg.if_match,
+                               jax.random.PRNGKey(0))
+        v = np.asarray(m.valid)
+        tv = np.asarray(trk.valid)
+        assert tv[v].mean() > 0.9
+        np.testing.assert_array_equal(
+            np.asarray(trk.cur_idx)[tv], np.arange(512)[tv])
+
+    def test_tracks_moving_scene(self, seq, cfg):
+        prev_l, prev_r = seq.frames[0]
+        cur_l, cur_r = seq.frames[1]
+        det = lambda im: detect_features(jnp.asarray(im, jnp.float32),
+                                         cfg.detect, 512, jnp.int32(20),
+                                         need_desc=False)
+        pl, pr, cl, cr = det(prev_l), det(prev_r), det(cur_l), det(cur_r)
+        pm = match_left_right(pl, pr, cfg.lr_match, prev_l.shape[1], 0.0)
+        cm = match_left_right(cl, cr, cfg.lr_match, cur_l.shape[1], 0.0)
+        trk = track_interframe(pl, pr, pm, cl, cr, cm, cfg.if_match,
+                               jax.random.PRNGKey(0))
+        assert int(trk.n_tracked) > 30
