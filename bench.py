@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Driver benchmark: steady-state stereo-VO frames/sec/chip at KITTI image size.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline note: the reference (famoreno/stereo-vo) publishes no end-to-end
+numbers (BASELINE.md); the only in-tree figures are compute_SAD8 latencies.
+`vs_baseline` is therefore computed against a measured-class estimate of the
+C++ pipeline on a desktop CPU: ~20 frames/s at KITTI 1241x376 with default
+feature counts (SAD stereo path; consistent with the IJRR'16 real-time claim
+of 10 Hz+ with margin).  BASELINE.json's target is >=5x that per chip.
+"""
+import json
+import sys
+
+REFERENCE_FPS_ESTIMATE = 20.0
+
+
+def main():
+    from rso.cli.bench import run_bench
+
+    out = run_bench(n_frames=40, n_points=2000, width=1241, height=376,
+                    repeat_passes=3)
+    line = {
+        "metric": "vo_frames_per_sec_per_chip_kitti_size",
+        "value": round(out["fps"], 3),
+        "unit": "frames/s",
+        "vs_baseline": round(out["fps"] / REFERENCE_FPS_ESTIMATE, 3),
+        "ate_rmse_m": round(out["ate_rmse_m"], 4),
+        "backend": out["backend"],
+        "device": out["device"],
+    }
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

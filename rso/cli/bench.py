@@ -1,0 +1,92 @@
+"""rso-bench: per-frame throughput + accuracy benchmark on the current backend.
+
+Measures steady-state frames/sec of the jitted step (compile excluded) on a
+synthetic sequence, plus endpoint accuracy.  This is what the repo-root
+bench.py wraps for the driver.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_bench(n_frames: int = 60, n_points: int = 2000, warmup: int = 3,
+              width: int = 1241, height: int = 376, repeat_passes: int = 3):
+    import jax
+
+    from rso.engine import Engine
+    from rso.geometry import pose_matrix
+    from rso.metrics.ate import ate_rmse
+    from rso.io.trajectory import integrate_relative
+    from rso.synthetic import make_sequence, synthetic_config
+    from rso.geometry.stereo_camera import StereoCamera
+
+    cam = StereoCamera.make(fx_l=718.856, fy_l=718.856, cx_l=width / 2.0,
+                            cy_l=height / 2.0, baseline=0.5371)
+    seq = make_sequence(n_frames=n_frames, n_points=n_points, H=height,
+                        W=width, cam=cam, speed=0.8)
+    eng = Engine(synthetic_config(), seq.cam)
+
+    # device-resident inputs
+    frames_dev = [(jax.device_put(l), jax.device_put(r)) for l, r in seq.frames]
+
+    # warmup + compile
+    for l, r in frames_dev[: warmup]:
+        res = eng.process_frame(l, r)
+    jax.block_until_ready(res.pose)
+
+    # timed: full engine steps back-to-back, state threading on device
+    rels = []
+    t0 = time.perf_counter()
+    n_steps = 0
+    for _ in range(repeat_passes):
+        eng.reset()
+        for l, r in frames_dev:
+            res = eng.process_frame(l, r)
+            n_steps += 1
+        rels.append(res.pose)
+    jax.block_until_ready(res.pose)
+    wall = time.perf_counter() - t0
+    fps = n_steps / wall
+
+    # accuracy pass (host-integrated trajectory)
+    eng.reset()
+    T = np.eye(4)
+    poses = [T.copy()]
+    for l, r in seq.frames:
+        res = eng.process_frame(l, r)
+        if bool(res.valid):
+            T = T @ np.asarray(pose_matrix(res.pose))
+        poses.append(T.copy())
+    ate = ate_rmse(np.stack(poses)[: len(seq.poses)], seq.poses)
+
+    return {
+        "fps": fps,
+        "ate_rmse_m": ate,
+        "n_frames": n_frames,
+        "image": f"{width}x{height}",
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("rso-bench", description=__doc__)
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--points", type=int, default=2000)
+    p.add_argument("--width", type=int, default=1241)
+    p.add_argument("--height", type=int, default=376)
+    p.add_argument("--passes", type=int, default=3)
+    args = p.parse_args(argv)
+    out = run_bench(args.frames, args.points, width=args.width,
+                    height=args.height, repeat_passes=args.passes)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,162 @@
+"""rso-demo: run stereo VO over a dataset or synthetic sequence.
+
+TPU-native counterpart of the reference's demo-stereo-odometry app
+(demo-main.cpp:41-298): source selection (--kitti / --euroc / --malaga /
+--img-dir / --synthetic replace the reference's --input/--sensor/--img_dir),
+engine config INI (--config, same sections/keys), per-frame loop, global pose
+composition, trajectory writing, and an ATE report when ground truth exists.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("rso-demo", description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--kitti", metavar="SEQ_DIR", help="KITTI odometry sequence dir")
+    src.add_argument("--euroc", metavar="SEQ_DIR", help="EuRoC MAV sequence dir")
+    src.add_argument("--malaga", metavar="DIR", help="Malaga Urban image dir")
+    src.add_argument("--img-dir", metavar="DIR", help="generic left_*/right_* dir")
+    src.add_argument("--synthetic", action="store_true", help="synthetic blob sequence")
+    p.add_argument("--config", help="INI config (reference section/key names)")
+    p.add_argument("--cam", help="camera calibration INI (MRPT style)")
+    p.add_argument("--poses", help="ground-truth poses file (KITTI format)")
+    p.add_argument("--frames", type=int, default=0, help="limit frame count")
+    p.add_argument("--out", default="trajectory.txt", help="output trajectory (KITTI fmt)")
+    p.add_argument("--tum", help="also write TUM-format trajectory here")
+    p.add_argument("--viz-dir", help="write overlay PNGs + trajectory HTML here")
+    p.add_argument("--save-state", help="write engine checkpoint here at the end")
+    p.add_argument("--load-state", help="resume engine checkpoint")
+    p.add_argument("--verbosity", type=int, default=1)
+    p.add_argument("--profile", action="store_true", help="print span profile at exit")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from rso.config import RSOConfig, load_config
+    from rso.engine import Engine
+    from rso.geometry import pose_matrix
+    from rso.metrics.ate import ate_rmse, rpe
+    from rso.metrics.logging import VOLogger, error_name
+    from rso.metrics.profiler import SpanProfiler
+
+    # ---- source select (reference demo-main.cpp:110-146) -------------------
+    gt = None
+    if args.synthetic:
+        from rso.synthetic import make_sequence, synthetic_config
+
+        seq = make_sequence(n_frames=args.frames or 30, n_points=2000)
+        cam = seq.cam
+        frames = [(l, r, 0.1 * i) for i, (l, r) in enumerate(seq.frames)]
+        gt = seq.poses
+        cfg = synthetic_config()
+    else:
+        from rso.io import datasets
+
+        try:
+            if args.kitti:
+                ds = datasets.load_kitti(args.kitti, poses_file=args.poses)
+            elif args.euroc:
+                ds = datasets.load_euroc(args.euroc)
+            elif args.malaga:
+                ds = datasets.load_malaga(args.malaga)
+            else:
+                from rso.io.calib import load_mrpt_ini_calib
+
+                if not args.cam:
+                    print("--img-dir requires --cam", file=sys.stderr)
+                    return 2
+                ds = datasets.load_image_dir(args.img_dir,
+                                             load_mrpt_ini_calib(args.cam))
+        except (FileNotFoundError, KeyError) as e:
+            print(f"[rso] cannot load dataset: {e}", file=sys.stderr)
+            return 2
+        if len(ds) == 0:
+            print("[rso] dataset is empty (no stereo frames found)",
+                  file=sys.stderr)
+            return 2
+        cam = ds.cam
+        gt = ds.gt_poses
+        n = len(ds) if not args.frames else min(args.frames, len(ds))
+        frames = ((f.left, f.right, f.timestamp)
+                  for f in ds.prefetch() if f.index < n)
+        cfg = RSOConfig()
+
+    if args.config:
+        cfg = load_config(args.config, base=cfg)
+
+    logger = VOLogger(args.verbosity)
+    prof = SpanProfiler(args.profile)
+    eng = Engine(cfg, cam)
+    if args.load_state:
+        from rso.io.checkpoint import load_state
+
+        try:
+            eng.state = load_state(args.load_state, cfg)
+        except Exception as e:
+            print(f"[rso] cannot load state '{args.load_state}': {e}",
+                  file=sys.stderr)
+            return 2
+
+    # ---- main loop (reference demo-main.cpp:210-287) -----------------------
+    T = np.eye(4)
+    poses = [T.copy()]
+    times = [0.0]
+    n_frames = 0
+    t_start = time.time()
+    for left, right, ts in frames:
+        with prof.span("processNewImagePair"):
+            res = eng.process_frame(left, right)
+        if bool(res.valid):
+            T = T @ np.asarray(pose_matrix(res.pose))
+        poses.append(T.copy())
+        times.append(ts)
+        n_frames += 1
+        logger.log(1, f"[rso] frame {n_frames}: valid={bool(res.valid)} "
+                      f"({error_name(res.error_code)}) "
+                      f"tracked={int(res.tracked_feats_from_last_frame)} "
+                      f"pos={T[:3, 3].round(3).tolist()}")
+    wall = time.time() - t_start
+
+    poses = np.stack(poses)
+    from rso.io.trajectory import write_kitti, write_tum
+
+    write_kitti(args.out, poses)
+    if args.tum:
+        write_tum(args.tum, poses, np.asarray(times))
+    print(f"[rso] {n_frames} frames in {wall:.2f}s "
+          f"({n_frames / max(wall, 1e-9):.2f} FPS) -> {args.out}")
+
+    if gt is not None:
+        n = min(len(poses), len(gt))
+        a = ate_rmse(poses[:n], gt[:n])
+        rt, rr = rpe(poses[:n], gt[:n])
+        print(f"[rso] ATE RMSE: {a:.4f} m | RPE: {rt:.4f} m / {rr:.4f} deg")
+
+    if args.viz_dir:
+        from rso.metrics.viz import VizWriter
+
+        vw = VizWriter(args.viz_dir)
+        vw.write_trajectory_html(poses, gt)
+        print(f"[rso] wrote {args.viz_dir}/trajectory.html")
+
+    if args.save_state and eng.state is not None:
+        from rso.io.checkpoint import save_state
+
+        save_state(args.save_state, eng.state)
+        print(f"[rso] saved engine state -> {args.save_state}")
+
+    if args.profile:
+        prof.report()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,156 @@
+"""Dataset loaders: KITTI odometry, EuRoC MAV, Malaga Urban, image directories.
+
+The TPU build's equivalent of the reference demo's three image sources
+(demo-main.cpp:110-146: live camera / rawlog / image dir) plus the benchmark
+datasets named in BASELINE.json.  All loaders yield (left u8 [H,W],
+right u8 [H,W], timestamp) and expose a StereoCamera.  Decode is host-side
+(cv2 when available, else PIL); a background prefetch thread overlaps decode
+with device compute (the host half of the pipeline-parallel design).
+"""
+from __future__ import annotations
+
+import os
+import glob as globmod
+import queue
+import threading
+from typing import Iterator, NamedTuple
+
+import numpy as np
+
+from rso.geometry.stereo_camera import StereoCamera
+from rso.io.calib import load_kitti_calib
+
+try:
+    import cv2
+
+    def _imread_gray(path):
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+except ImportError:  # pragma: no cover
+    from PIL import Image
+
+    def _imread_gray(path):
+        return np.asarray(Image.open(path).convert("L"))
+
+
+class StereoFrame(NamedTuple):
+    left: np.ndarray
+    right: np.ndarray
+    timestamp: float
+    index: int
+
+
+class StereoDataset:
+    """Base: a calibrated list of stereo frame paths."""
+
+    def __init__(self, left_paths, right_paths, timestamps, cam: StereoCamera,
+                 gt_poses: np.ndarray | None = None):
+        assert len(left_paths) == len(right_paths)
+        self.left_paths = left_paths
+        self.right_paths = right_paths
+        self.timestamps = timestamps
+        self.cam = cam
+        self.gt_poses = gt_poses  # [N,4,4] camera-to-world, if available
+
+    def __len__(self):
+        return len(self.left_paths)
+
+    def __getitem__(self, i) -> StereoFrame:
+        return StereoFrame(
+            left=_imread_gray(self.left_paths[i]),
+            right=_imread_gray(self.right_paths[i]),
+            timestamp=float(self.timestamps[i]),
+            index=i,
+        )
+
+    def __iter__(self) -> Iterator[StereoFrame]:
+        for i in range(len(self)):
+            yield self[i]
+
+    def prefetch(self, depth: int = 4) -> Iterator[StereoFrame]:
+        """Background-decode iterator: the host half of the double-buffered
+        pipeline (SURVEY section 2.5 PP row)."""
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for i in range(len(self)):
+                    q.put(self[i])
+            finally:
+                q.put(SENTINEL)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+
+
+def load_kitti(seq_dir: str, calib_file: str | None = None,
+               poses_file: str | None = None) -> StereoDataset:
+    """KITTI odometry sequence directory (image_0/image_1 + calib.txt [+ poses])."""
+    lp = sorted(globmod.glob(os.path.join(seq_dir, "image_0", "*.png")))
+    rp = sorted(globmod.glob(os.path.join(seq_dir, "image_1", "*.png")))
+    calib = calib_file or os.path.join(seq_dir, "calib.txt")
+    cam = load_kitti_calib(calib)
+    times_file = os.path.join(seq_dir, "times.txt")
+    if os.path.exists(times_file):
+        ts = np.loadtxt(times_file)
+    else:
+        ts = np.arange(len(lp)) * 0.1
+    gt = None
+    if poses_file and os.path.exists(poses_file):
+        raw = np.loadtxt(poses_file).reshape(-1, 3, 4)
+        gt = np.tile(np.eye(4), (raw.shape[0], 1, 1))
+        gt[:, :3, :] = raw
+    return StereoDataset(lp, rp, ts, cam, gt)
+
+
+def load_euroc(seq_dir: str) -> StereoDataset:
+    """EuRoC MAV directory (mav0/cam0, mav0/cam1). Images are unrectified;
+    callers should pair this with rso.io.calib.load_euroc_calib +
+    compute_rectify_maps and enable rectification in the engine."""
+    c0 = os.path.join(seq_dir, "mav0", "cam0", "data")
+    c1 = os.path.join(seq_dir, "mav0", "cam1", "data")
+    lp = sorted(globmod.glob(os.path.join(c0, "*.png")))
+    rp = sorted(globmod.glob(os.path.join(c1, "*.png")))
+    n = min(len(lp), len(rp))
+    lp, rp = lp[:n], rp[:n]
+    ts = np.array([float(os.path.splitext(os.path.basename(p))[0]) * 1e-9
+                   for p in lp])
+    from rso.io.calib import compute_rectify_maps, load_euroc_calib
+
+    calib = load_euroc_calib(
+        os.path.join(seq_dir, "mav0", "cam0", "sensor.yaml"),
+        os.path.join(seq_dir, "mav0", "cam1", "sensor.yaml"))
+    cam, _, _ = compute_rectify_maps(calib)
+    return StereoDataset(lp, rp, ts, cam)
+
+
+def load_malaga(seq_dir: str, cam: StereoCamera | None = None) -> StereoDataset:
+    """Malaga Urban dataset extract: *_left.jpg / *_right.jpg image pairs."""
+    lp = sorted(globmod.glob(os.path.join(seq_dir, "*left*.jpg")))
+    rp = sorted(globmod.glob(os.path.join(seq_dir, "*right*.jpg")))
+    n = min(len(lp), len(rp))
+    ts = np.arange(n) * 0.05
+    if cam is None:  # published Malaga stereo parameters
+        cam = StereoCamera.make(fx_l=795.11588, fy_l=795.11588,
+                                cx_l=517.12973, cy_l=395.59665,
+                                baseline=0.1194)
+    return StereoDataset(lp[:n], rp[:n], ts, cam)
+
+
+def load_image_dir(dir_path: str, cam: StereoCamera,
+                   left_glob: str = "left_*.png",
+                   right_glob: str = "right_*.png") -> StereoDataset:
+    """Generic image-directory source (the reference's --img_dir mode,
+    demo-main.cpp:122-146)."""
+    lp = sorted(globmod.glob(os.path.join(dir_path, left_glob)))
+    rp = sorted(globmod.glob(os.path.join(dir_path, right_glob)))
+    n = min(len(lp), len(rp))
+    return StereoDataset(lp[:n], rp[:n], np.arange(n) * 0.1, cam)

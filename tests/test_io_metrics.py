@@ -1,0 +1,221 @@
+"""IO + metrics tests: calib parsing, trajectory round-trips, checkpoint
+resume exactness, ATE/RPE math, config INI loading, profiler."""
+import os
+
+import numpy as np
+import pytest
+
+from rso.config import (
+    DetectMethod,
+    RSOConfig,
+    StereoMatchMethod,
+    load_config,
+)
+from rso.io.calib import load_kitti_calib
+from rso.io.checkpoint import load_state, save_state
+from rso.io.trajectory import (
+    integrate_relative,
+    read_kitti,
+    read_tum,
+    write_kitti,
+    write_tum,
+)
+from rso.metrics.ate import ate_rmse, rpe
+from rso.metrics.logging import error_name
+from rso.metrics.profiler import SpanProfiler
+
+
+class TestCalib:
+    def test_kitti_calib(self, tmp_path):
+        p = tmp_path / "calib.txt"
+        fx, cx, cy, b = 718.856, 607.1928, 185.2157, 0.5371657
+        P0 = f"P0: {fx} 0 {cx} 0 0 {fx} {cy} 0 0 0 1 0"
+        P1 = f"P1: {fx} 0 {cx} {-fx*b} 0 {fx} {cy} 0 0 0 1 0"
+        p.write_text(P0 + "\n" + P1 + "\n")
+        cam = load_kitti_calib(str(p))
+        assert abs(float(cam.fx_l) - fx) < 1e-3
+        assert abs(float(cam.baseline) - b) < 1e-5
+
+    def test_rectify_maps_identity_for_aligned_rig(self):
+        """A perfectly aligned rig must yield (nearly) identity remap."""
+        from rso.io.calib import FullCalibration, compute_rectify_maps
+
+        K = np.array([[300.0, 0, 64], [0, 300.0, 48], [0, 0, 1]])
+        calib = FullCalibration(
+            K_l=K, K_r=K, dist_l=np.zeros(5), dist_r=np.zeros(5),
+            R_lr=np.eye(3), t_lr=np.array([0.2, 0.0, 0.0]), size=(96, 128))
+        cam, (mlx, mly), (mrx, mry) = compute_rectify_maps(calib)
+        ys, xs = np.mgrid[0:96, 0:128]
+        # maps should be close to identity (shared intrinsics recentered)
+        assert np.abs(mlx - xs).max() < 1.0
+        assert np.abs(mly - ys).max() < 1.0
+        assert abs(float(cam.baseline) - 0.2) < 1e-6
+
+
+class TestTrajectory:
+    def _traj(self, n=20):
+        rels = []
+        from rso.geometry import pose_matrix
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        for _ in range(n):
+            rels.append(np.asarray(pose_matrix(jnp.asarray(
+                rng.normal(0, 0.05, 6), jnp.float32))))
+        return integrate_relative(rels)
+
+    def test_kitti_roundtrip(self, tmp_path):
+        poses = self._traj()
+        f = str(tmp_path / "t.txt")
+        write_kitti(f, poses)
+        back = read_kitti(f)
+        np.testing.assert_allclose(back, poses, atol=1e-6)
+
+    def test_tum_roundtrip(self, tmp_path):
+        poses = self._traj()
+        f = str(tmp_path / "t.txt")
+        write_tum(f, poses)
+        ts, back = read_tum(f)
+        np.testing.assert_allclose(back[:, :3, 3], poses[:, :3, 3], atol=1e-5)
+        np.testing.assert_allclose(back[:, :3, :3], poses[:, :3, :3], atol=1e-4)
+
+
+class TestATE:
+    def test_zero_error(self):
+        poses = np.tile(np.eye(4), (10, 1, 1))
+        poses[:, 2, 3] = np.arange(10)
+        assert ate_rmse(poses, poses) < 1e-9
+        rt, rr = rpe(poses, poses)
+        assert rt < 1e-9 and rr < 1e-6
+
+    def test_alignment_invariance(self):
+        """ATE must be invariant to a rigid transform of the whole estimate."""
+        rng = np.random.default_rng(0)
+        gt = np.tile(np.eye(4), (30, 1, 1))
+        gt[:, :3, 3] = np.cumsum(rng.normal(0, 0.3, (30, 3)), axis=0)
+        from scipy.spatial.transform import Rotation
+
+        R = Rotation.from_rotvec([0.3, -0.2, 0.5]).as_matrix()
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = [5, -2, 3]
+        est = np.einsum("ij,njk->nik", T, gt)
+        assert ate_rmse(est, gt) < 1e-6
+
+    def test_known_offset(self):
+        gt = np.tile(np.eye(4), (10, 1, 1))
+        gt[:, 0, 3] = np.arange(10)
+        est = gt.copy()
+        est[5, 1, 3] += 1.0  # one pose off by 1m laterally
+        err = ate_rmse(est, gt, align=False)
+        assert abs(err - np.sqrt(1.0 / 10)) < 1e-6
+
+
+class TestCheckpoint:
+    def test_exact_resume(self, tmp_path):
+        from rso.engine import Engine
+        from rso.synthetic import make_sequence, synthetic_config
+
+        seq = make_sequence(n_frames=4, n_points=800, H=120, W=160)
+        cfg = synthetic_config()
+        eng = Engine(cfg, seq.cam)
+        eng.process_frame(*seq.frames[0])
+        eng.process_frame(*seq.frames[1])
+        f = str(tmp_path / "state.npz")
+        save_state(f, eng.state)
+
+        eng2 = Engine(cfg, seq.cam)
+        eng2.state = load_state(f, cfg)
+        r_a = eng.process_frame(*seq.frames[2])
+        r_b = eng2.process_frame(*seq.frames[2])
+        np.testing.assert_array_equal(np.asarray(r_a.pose), np.asarray(r_b.pose))
+        np.testing.assert_array_equal(
+            np.asarray(r_a.residuals), np.asarray(r_b.residuals))
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        import dataclasses
+
+        from rso.engine import init_state
+
+        cfg = RSOConfig()
+        f = str(tmp_path / "s.npz")
+        save_state(f, init_state(cfg))
+        other = cfg.replace(tpu=dataclasses.replace(cfg.tpu,
+                                                    max_kps_per_octave=128))
+        with pytest.raises(ValueError):
+            load_state(f, other)
+
+
+class TestConfig:
+    def test_ini_loading(self, tmp_path):
+        ini = tmp_path / "cfg.ini"
+        ini.write_text("""
+[RECTIFY]
+nOctaves = 2
+[DETECT]
+detect_method = 0
+orb_nfeats = 300
+non_maximal_suppression = true
+[MATCH]
+match_method = 0
+max_y_diff = 2.5
+enable_robust_1to1_match = 1
+[IF-MATCH]
+if_match_method = 0
+window_width = 31
+[LEAST_SQUARES]
+initial_max_iters = 7
+kernel_param = 2.5
+use_robust_kernel = true
+[GUI]
+show_gui = false
+[GENERAL]
+vo_use_matches_ids = true
+vo_out_dir = /tmp/x
+""")
+        cfg = load_config(str(ini))
+        assert cfg.rectify.nOctaves == 2
+        assert cfg.detect.detect_method == DetectMethod.ORB
+        assert cfg.detect.orb_nfeats == 300
+        assert cfg.lr_match.match_method == StereoMatchMethod.DESC_BF
+        assert cfg.lr_match.max_y_diff == 2.5
+        assert cfg.lr_match.enable_robust_1to1_match is True
+        assert cfg.if_match.ifm_win_w == 31
+        assert cfg.least_squares.initial_max_iters == 7
+        assert cfg.least_squares.kernel_param == 2.5
+        assert cfg.general.vo_use_matches_ids is True
+        assert cfg.general.vo_out_dir == "/tmp/x"
+        # ORB mode forces 1 octave (reference stage1_rectify.cpp:80)
+        assert cfg.n_octaves == 1
+
+    def test_defaults_match_reference(self):
+        cfg = RSOConfig()
+        # reference ctor defaults (stage2_detect.cpp:44-58, stage3:46-57,
+        # common.cpp:69-82)
+        assert cfg.detect.initial_FAST_threshold == 20
+        assert cfg.detect.orb_nfeats == 500
+        assert cfg.lr_match.sad_max_distance == 200
+        assert cfg.lr_match.sad_max_ratio == 0.5
+        assert cfg.least_squares.kernel_param == 3.0
+        assert cfg.least_squares.initial_max_iters == 10
+        assert cfg.least_squares.max_iters == 100
+        assert cfg.least_squares.residual_threshold == 10.0
+        assert cfg.least_squares.bad_tracking_th == 5
+        assert isinstance(hash(cfg), int)  # static-arg usable under jit
+
+    def test_error_names(self):
+        assert error_name(0) == "voecNone"
+        assert error_name(1) == "voecBadTracking"
+        assert error_name(99).startswith("unknown")
+
+
+class TestProfiler:
+    def test_spans(self):
+        p = SpanProfiler()
+        with p.span("a"):
+            with p.span("b"):
+                pass
+        p.enter("c")
+        p.leave("c")
+        s = p.summary()
+        assert "a" in s and "b" in s and "c" in s
