@@ -68,6 +68,8 @@ class FrameView(NamedTuple):
 
 class EngineState(NamedTuple):
     prev: FrameView
+    prev_pyr_l: tuple             # prev-frame pyramids (OPTICAL_FLOW mode only, else empty)
+    prev_pyr_r: tuple
     have_prev: jnp.ndarray        # bool scalar
     last_match_id: jnp.ndarray    # int32 — reference m_last_match_ID
     last_kf_max_id: jnp.ndarray   # int32 — reference m_last_kf_max_id
@@ -123,11 +125,21 @@ def _empty_octave(k: int) -> OctaveData:
     )
 
 
-def init_state(cfg: RSOConfig) -> EngineState:
+def init_state(cfg: RSOConfig, img_hw: tuple | None = None) -> EngineState:
     O = cfg.n_octaves
     K = cfg.tpu.max_kps_per_octave
+    pyr_l = pyr_r = ()
+    if cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
+        if img_hw is None:
+            raise ValueError("OPTICAL_FLOW mode needs img_hw for init_state")
+        h, w = img_hw
+        shapes = [(h >> o, w >> o) for o in range(O)]
+        pyr_l = tuple(jnp.zeros(s_, jnp.float32) for s_ in shapes)
+        pyr_r = tuple(jnp.zeros(s_, jnp.float32) for s_ in shapes)
     return EngineState(
         prev=FrameView(octaves=tuple(_empty_octave(K) for _ in range(O))),
+        prev_pyr_l=pyr_l,
+        prev_pyr_r=pyr_r,
         have_prev=jnp.bool_(False),
         last_match_id=jnp.int32(0),
         last_kf_max_id=jnp.int32(-1),
@@ -253,7 +265,9 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
             fxb = (float(cam.fx_l) * float(cam.baseline) / (2 ** o)
                    if cfg.lr_match.use_z_gate else None)
             m = match_left_right(fl, fr, cfg.lr_match, pyr_l[o].shape[1],
-                                 min_response, fx_baseline=fxb)
+                                 min_response, fx_baseline=fxb,
+                                 use_pallas=cfg.tpu.use_pallas,
+                                 interpret_pallas=cfg.tpu.interpret_pallas)
             cur_octs.append(OctaveData(left=fl, right=fr, matches=m,
                                        match_ids=jnp.full((K,), -1, jnp.int32)))
             n_matches.append(jnp.sum(m.valid.astype(jnp.int32)))
@@ -268,13 +282,33 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
         for o in range(O):
             p = state.prev.octaves[o]
             c = cur_octs[o]
-            trk = track_interframe(
-                p.left, p.right, p.matches,
-                c.left, c.right, c.matches,
-                cfg.if_match, jax.random.fold_in(key, o),
-                ransac_iters=cfg.tpu.ransac_iters,
-                ransac_threshold=cfg.tpu.ransac_threshold,
-            )
+            if cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
+                from rso.frontend.track import track_optical_flow
+
+                trk = track_optical_flow(
+                    list(state.prev_pyr_l), list(state.prev_pyr_r),
+                    pyr_l, pyr_r,
+                    p.left, p.right, p.matches,
+                    c.left, c.right, c.matches,
+                    cfg.if_match, jax.random.fold_in(key, o),
+                    ransac_iters=cfg.tpu.ransac_iters,
+                    ransac_threshold=cfg.tpu.ransac_threshold,
+                )
+            else:
+                # fundamental-matrix filtering runs ONCE on the flat
+                # cross-octave track set below (cheaper + better-conditioned
+                # than the reference's per-octave filters)
+                ifm = dataclasses.replace(cfg.if_match,
+                                          filter_fund_matrix=False)
+                trk = track_interframe(
+                    p.left, p.right, p.matches,
+                    c.left, c.right, c.matches,
+                    ifm, jax.random.fold_in(key, o),
+                    ransac_iters=cfg.tpu.ransac_iters,
+                    ransac_threshold=cfg.tpu.ransac_threshold,
+                    use_pallas=cfg.tpu.use_pallas,
+                    interpret_pallas=cfg.tpu.interpret_pallas,
+                )
             # no previous frame -> nothing tracked
             trk_valid = trk.valid & state.have_prev
             trk_idx = jnp.where(trk_valid, trk.cur_idx, -1)
@@ -339,6 +373,25 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
         tmask = jnp.concatenate(mask_l)
         obs_w = jnp.concatenate(w_l)
 
+        # single flat fundamental-matrix filter over all octaves (reference
+        # stage4:681-705 runs one per octave per eye; one model over the
+        # full-resolution flat set uses more support per hypothesis)
+        if (cfg.if_match.filter_fund_matrix
+                and cfg.if_match.ifm_method != IFMatchMethod.OPTICAL_FLOW):
+            from rso.solver.ransac import ransac_fundamental
+
+            kL, kR = jax.random.split(jax.random.fold_in(key, 1000))
+            resL = ransac_fundamental(
+                prev_obs[:, :2], cur_obs[:, :2], tmask, kL,
+                n_iters=cfg.tpu.ransac_iters,
+                threshold=cfg.tpu.ransac_threshold)
+            resR = ransac_fundamental(
+                prev_obs[:, 2:4], cur_obs[:, 2:4], tmask, kR,
+                n_iters=cfg.tpu.ransac_iters,
+                threshold=cfg.tpu.ransac_threshold)
+            both = resL.inliers & resR.inliers
+            tmask = jnp.where(resL.ok & resR.ok, both, tmask)
+
         nms_keep = _stage5_nms(prev_obs[:, :2], resp, tmask, img_w, img_h,
                                cfg.detect.min_distance)
         smask = tmask & nms_keep
@@ -383,6 +436,14 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
         new_prev = jax.tree_util.tree_map(
             lambda new, old: jnp.where(keep_prev, old, new), cur_view,
             state.prev)
+        if cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
+            new_pyr_l = tuple(jnp.where(keep_prev, o_, n_)
+                              for n_, o_ in zip(pyr_l, state.prev_pyr_l))
+            new_pyr_r = tuple(jnp.where(keep_prev, o_, n_)
+                              for n_, o_ in zip(pyr_r, state.prev_pyr_r))
+        else:
+            new_pyr_l = state.prev_pyr_l
+            new_pyr_r = state.prev_pyr_r
         new_last_pose = jnp.where(
             valid & cfg.least_squares.use_previous_pose_as_initial
             & (not cfg.least_squares.use_custom_initial_pose),
@@ -390,6 +451,8 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
 
         new_state = EngineState(
             prev=new_prev,
+            prev_pyr_l=new_pyr_l,
+            prev_pyr_r=new_pyr_r,
             have_prev=jnp.bool_(True),
             last_match_id=last_id,
             last_kf_max_id=state.last_kf_max_id,
@@ -434,7 +497,7 @@ class Engine:
         right_img = jnp.asarray(right_img)
         h, w = left_img.shape[:2]
         if self.state is None:
-            self.state = init_state(self.cfg)
+            self.state = init_state(self.cfg, (h, w))
         step = self._get_step(h, w)
         self.state, result = step(self.state, left_img, right_img)
         return result

@@ -191,7 +191,12 @@ def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
     """
     H, W = response.shape
     masked = jnp.where(keep_mask, response, -jnp.inf)
-    vals, idx = lax.top_k(masked.reshape(-1), k)
+    flat = masked.reshape(-1)
+    try:  # TPU-accelerated approximate top-k (exact enough after NMS: winners
+        # are spatially sparse, so bucket collisions are rare)
+        vals, idx = lax.approx_max_k(flat, k, recall_target=0.95)
+    except NotImplementedError:  # pragma: no cover
+        vals, idx = lax.top_k(flat, k)
     yi = (idx // W).astype(jnp.int32)
     xi = (idx % W).astype(jnp.int32)
     valid = jnp.isfinite(vals) & (vals > min_response)
@@ -234,10 +239,12 @@ def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, size: int = 8,
     x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - offset, 0, W - size)
     y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - offset, 0, H - size)
 
-    def one(x, y):
-        return lax.dynamic_slice(img, (y, x), (size, size)).reshape(-1)
-
-    return jax.vmap(one)(x0, y0)
+    # one fused gather of K*size^2 elements (vmapped dynamic_slice emits K
+    # serial slices on TPU)
+    dy, dx = np.mgrid[0:size, 0:size]
+    yy = y0[:, None, None] + jnp.asarray(dy)
+    xx = x0[:, None, None] + jnp.asarray(dx)
+    return img[yy, xx].reshape(xy.shape[0], size * size)
 
 
 def orb_orientation(patch31: jnp.ndarray) -> jnp.ndarray:

@@ -39,25 +39,14 @@ class StereoMatches(NamedTuple):
     valid: jnp.ndarray  # [K] bool
 
 
-def sad_matrix(patches_a: jnp.ndarray, patches_b: jnp.ndarray) -> jnp.ndarray:
-    """[Ka,64] x [Kb,64] -> [Ka,Kb] sum of absolute differences.
-
-    Batched form of compute_SAD8 (reference compute_SAD8.cpp:71-97) over all
-    feature pairs at once.
-    """
-    return jnp.sum(
-        jnp.abs(patches_a[:, None, :] - patches_b[None, :, :]), axis=-1
-    )
-
-
-def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
-    """[Ka,8]u32 x [Kb,8]u32 -> [Ka,Kb] f32 Hamming distance.
-
-    XOR + population count — the reference's Wegner popcount loop
-    (stage3_match_left_right.cpp:320-332) as two VPU ops.
-    """
-    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
-    return jnp.sum(lax.population_count(x), axis=-1).astype(jnp.float32)
+# Distance matrices live in rso.kernels (Pallas TPU kernels + jnp references);
+# these aliases keep the stage-3 module self-describing.
+from rso.kernels.distance import (  # noqa: E402
+    hamming_matrix_auto,
+    hamming_matrix_jnp as hamming_matrix,
+    sad_matrix_auto,
+    sad_matrix_jnp as sad_matrix,
+)
 
 
 def _arbitrate_right(cand_r: jnp.ndarray, cand_d: jnp.ndarray,
@@ -94,6 +83,8 @@ def match_left_right(
     img_w: int,
     min_response: float,
     fx_baseline: float | None = None,
+    use_pallas: bool = False,
+    interpret_pallas: bool = False,
 ) -> StereoMatches:
     """Stereo-match one octave's left/right feature sets.
 
@@ -106,11 +97,13 @@ def match_left_right(
     K = left.xy.shape[0]
 
     if method == StereoMatchMethod.SAD:
-        D = sad_matrix(left.patch, right.patch)
+        D = sad_matrix_auto(left.patch, right.patch, use_pallas,
+                            interpret_pallas)
         max_distance = float(params.sad_max_distance)
         use_ratio = True
     else:  # smDescBF / smDescRbR: Hamming on descriptors
-        D = hamming_matrix(left.desc, right.desc)
+        D = hamming_matrix_auto(left.desc, right.desc, use_pallas,
+                                interpret_pallas)
         max_distance = float(params.orb_max_distance)
         use_ratio = False  # reference applies no ratio test on ORB paths
 

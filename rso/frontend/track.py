@@ -33,12 +33,8 @@ import jax.numpy as jnp
 
 from rso.config import IFMatchMethod, InterFrameMatchParams
 from rso.frontend.detect import Features
-from rso.frontend.stereo_match import (
-    StereoMatches,
-    _arbitrate_right,
-    hamming_matrix,
-    sad_matrix,
-)
+from rso.frontend.stereo_match import StereoMatches, _arbitrate_right
+from rso.kernels.distance import hamming_matrix_auto, sad_matrix_auto
 from rso.solver.ransac import ransac_fundamental
 
 _BIG = jnp.float32(1e9)
@@ -66,6 +62,8 @@ def track_interframe(
     key: jnp.ndarray,
     ransac_iters: int = 64,
     ransac_threshold: float = 1.0,
+    use_pallas: bool = False,
+    interpret_pallas: bool = False,
 ) -> TrackResult:
     K = prev_matches.ridx.shape[0]
     method = params.ifm_method
@@ -81,19 +79,24 @@ def track_interframe(
     pair_ok = p_ok[:, None] & c_ok[None, :]
 
     if method == IFMatchMethod.SAD:
-        sad_l = sad_matrix(prev_left.patch, cur_left.patch)
-        sad_r = sad_matrix(pR_patch, cR_patch)
+        sad_l = sad_matrix_auto(prev_left.patch, cur_left.patch, use_pallas,
+                                interpret_pallas)
+        sad_r = sad_matrix_auto(pR_patch, cR_patch, use_pallas,
+                                interpret_pallas)
         side_ok = (sad_l <= params.sad_max_distance) & (
             sad_r <= params.sad_max_distance)
         cost = sad_l + sad_r
         use_window = True
     elif method == IFMatchMethod.DESC_WIN:
-        cost = hamming_matrix(prev_left.desc, cur_left.desc)
+        cost = hamming_matrix_auto(prev_left.desc, cur_left.desc, use_pallas,
+                                   interpret_pallas)
         side_ok = jnp.ones_like(pair_ok)
         use_window = True
     elif method == IFMatchMethod.DESC_BF:
-        costL = hamming_matrix(prev_left.desc, cur_left.desc)
-        costR = hamming_matrix(pR_desc, cR_desc)
+        costL = hamming_matrix_auto(prev_left.desc, cur_left.desc, use_pallas,
+                                    interpret_pallas)
+        costR = hamming_matrix_auto(pR_desc, cR_desc, use_pallas,
+                                    interpret_pallas)
         # both sides must independently pick the same cur match and pass the
         # distance threshold (reference :149-159 + consistency :282)
         DL = jnp.where(pair_ok, costL, _BIG)
@@ -109,7 +112,7 @@ def track_interframe(
                        params, key, ransac_iters, ransac_threshold)
     else:
         raise NotImplementedError(
-            "ifmOpticalFlow runs as the LK tracker in rso.frontend.optical_flow"
+            "ifmOpticalFlow: use track_optical_flow (needs image pyramids)"
         )
 
     if use_window:
@@ -155,3 +158,45 @@ def _finish(prev_left, pR_xy, cur_left, cR_xy, best_c, survive, params, key,
     cur_idx = jnp.where(survive, best_c, -1)
     return TrackResult(cur_idx=cur_idx, valid=survive,
                        n_tracked=jnp.sum(survive.astype(jnp.int32)))
+
+
+def track_optical_flow(
+    prev_pyr_l: list, prev_pyr_r: list,
+    cur_pyr_l: list, cur_pyr_r: list,
+    prev_left: Features, prev_right: Features, prev_matches: StereoMatches,
+    cur_left: Features, cur_right: Features, cur_matches: StereoMatches,
+    params: InterFrameMatchParams,
+    key: jnp.ndarray,
+    ransac_iters: int = 64,
+    ransac_threshold: float = 1.0,
+    lk_win: int = 10,
+    lk_iters: int = 10,
+    gate: float = 4.0,
+) -> TrackResult:
+    """ifmOpticalFlow (reference stage4_match_consecutive.cpp:333-431):
+    pyramidal LK on both eyes + 1.5px epipolar consistency (:397) +
+    fundamental-matrix filter, with flow-guided association onto the current
+    match set (see rso.frontend.optical_flow for the deviation rationale)."""
+    from rso.frontend.optical_flow import flow_guided_association, lk_track
+
+    K = prev_matches.ridx.shape[0]
+    p_ok = prev_matches.valid
+    pR_xy, _, _ = _gather_right(prev_right, prev_matches.ridx)
+    cR_xy, _, _ = _gather_right(cur_right, cur_matches.ridx)
+
+    fl = lk_track(prev_pyr_l, cur_pyr_l, prev_left.xy, p_ok,
+                  win=lk_win, iters=lk_iters)
+    fr = lk_track(prev_pyr_r, cur_pyr_r, pR_xy, p_ok,
+                  win=lk_win, iters=lk_iters)
+
+    # epipolar consistency of the tracked pair (reference :393-398)
+    epi_ok = jnp.abs(fl.pos[:, 1] - fr.pos[:, 1]) <= 1.5
+    pred_ok = fl.status & fr.status & epi_ok
+
+    cur_idx, ok = flow_guided_association(
+        fl.pos, pred_ok, cur_left.xy, cur_matches.valid, gate=gate)
+
+    survive = ok
+    best_c = jnp.where(ok, cur_idx, 0).astype(jnp.int32)
+    return _finish(prev_left, pR_xy, cur_left, cR_xy, best_c, survive,
+                   params, key, ransac_iters, ransac_threshold)

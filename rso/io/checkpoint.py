@@ -21,11 +21,13 @@ def save_state(path: str, state: EngineState) -> None:
     np.savez_compressed(path, n_leaves=len(leaves), **arrays)
 
 
-def load_state(path: str, cfg: RSOConfig) -> EngineState:
+def load_state(path: str, cfg: RSOConfig,
+               img_hw: tuple | None = None) -> EngineState:
     """Rebuild the pytree using a template from the config (shapes must match
-    the config the state was saved under)."""
+    the config the state was saved under).  img_hw is required for
+    OPTICAL_FLOW-mode states (they carry the prev pyramids)."""
     data = np.load(path)
-    template = init_state(cfg)
+    template = init_state(cfg, img_hw)
     leaves, treedef = jax.tree_util.tree_flatten(template)
     n = int(data["n_leaves"])
     if n != len(leaves):

@@ -1,0 +1,138 @@
+"""Pallas TPU kernels for the two hot pairwise-distance matrices.
+
+The reference's per-pair scalar kernels — compute_SAD8 (stereo_vo
+compute_SAD8.cpp:71-97, ~310ns/call scalar, dead SSE4 path at :30-66) and the
+Wegner popcount Hamming loop (stage3_match_left_right.cpp:320-332) — become
+batched all-pairs distance-matrix kernels: one grid pass computes every
+candidate pair for a whole octave, keeping both operand tiles resident in VMEM
+and streaming the [K,K] output.
+
+Each kernel ships with a pure-jnp reference (`*_jnp`) used for CPU tests and
+as the XLA-fusion fallback; `*_auto` picks Pallas on TPU, jnp elsewhere —
+mirroring the reference's scalar-vs-SSE4 dispatch (compute_SAD8.cpp:108-122)
+with the fast path actually alive this time.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# jnp references (identical math, XLA-fused)
+# ---------------------------------------------------------------------------
+
+def sad_matrix_jnp(patches_a: jnp.ndarray, patches_b: jnp.ndarray) -> jnp.ndarray:
+    """[Ka,P] x [Kb,P] f32 -> [Ka,Kb] sum of absolute differences."""
+    return jnp.sum(jnp.abs(patches_a[:, None, :] - patches_b[None, :, :]),
+                   axis=-1)
+
+
+def hamming_matrix_jnp(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """[Ka,W] x [Kb,W] u32 -> [Ka,Kb] f32 Hamming distance."""
+    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(lax.population_count(x), axis=-1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+_TILE_A = 128  # rows of A per grid step (f32 sublane-friendly)
+
+
+def _sad_kernel(a_ref, b_ref, out_ref):
+    # a: [TILE_A, P] f32, b: [Kb, P] f32, out: [TILE_A, Kb]
+    a = a_ref[:]
+    b = b_ref[:]
+    P = a.shape[1]
+    acc = jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
+    for d in range(P):  # unrolled VPU adds, operands stay in VMEM
+        acc = acc + jnp.abs(a[:, d][:, None] - b[:, d][None, :])
+    out_ref[:] = acc
+
+
+def sad_matrix_pallas(patches_a: jnp.ndarray, patches_b: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    Ka, P = patches_a.shape
+    Kb = patches_b.shape[0]
+    tile = min(_TILE_A, Ka)
+    grid = (pl.cdiv(Ka, tile),)
+    return pl.pallas_call(
+        _sad_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kb, P), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, Kb), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ka, Kb), jnp.float32),
+        interpret=interpret,
+    )(patches_a.astype(jnp.float32), patches_b.astype(jnp.float32))
+
+
+def _hamming_kernel(a_ref, b_ref, out_ref):
+    # a: [TILE_A, W] u32, b: [Kb, W] u32, out: [TILE_A, Kb] f32
+    a = a_ref[:]
+    b = b_ref[:]
+    W = a.shape[1]
+    acc = jnp.zeros((a.shape[0], b.shape[0]), jnp.int32)
+    for w in range(W):
+        x = jnp.bitwise_xor(a[:, w][:, None], b[:, w][None, :])
+        acc = acc + lax.population_count(x).astype(jnp.int32)
+    out_ref[:] = acc.astype(jnp.float32)
+
+
+def hamming_matrix_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    Ka, W = desc_a.shape
+    Kb = desc_b.shape[0]
+    tile = min(_TILE_A, Ka)
+    grid = (pl.cdiv(Ka, tile),)
+    return pl.pallas_call(
+        _hamming_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kb, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, Kb), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ka, Kb), jnp.float32),
+        interpret=interpret,
+    )(desc_a, desc_b)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def sad_matrix_auto(patches_a, patches_b, use_pallas: bool = True,
+                    interpret: bool = False):
+    if use_pallas and (interpret or _on_tpu()):
+        return sad_matrix_pallas(patches_a, patches_b, interpret=interpret)
+    return sad_matrix_jnp(patches_a, patches_b)
+
+
+def hamming_matrix_auto(desc_a, desc_b, use_pallas: bool = True,
+                        interpret: bool = False):
+    if use_pallas and (interpret or _on_tpu()):
+        return hamming_matrix_pallas(desc_a, desc_b, interpret=interpret)
+    return hamming_matrix_jnp(desc_a, desc_b)

@@ -155,5 +155,6 @@ def make_sequence(
     rel = []
     for i in range(1, n_frames):
         rel.append(np.linalg.inv(poses[i - 1]) @ poses[i])
-    return SyntheticSequence(frames=frames, rel_poses=np.stack(rel),
+    rel = np.stack(rel) if rel else np.zeros((0, 4, 4))
+    return SyntheticSequence(frames=frames, rel_poses=rel,
                              poses=poses, cam=cam)

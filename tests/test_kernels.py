@@ -1,0 +1,90 @@
+"""Kernel equivalence tests: Pallas (interpreter mode on CPU) vs pure-jnp
+reference — the reference repo's scalar-vs-SSE4 equivalence pattern
+(computeSAD8_unittest.cpp:61-76) applied to the live fast path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rso.kernels import (
+    hamming_matrix_jnp,
+    hamming_matrix_pallas,
+    sad_matrix_jnp,
+    sad_matrix_pallas,
+    windowed_sad_search,
+)
+from rso.frontend.detect import extract_patches
+
+
+@pytest.fixture(scope="module")
+def patches(rng):
+    a = rng.integers(0, 255, (256, 64)).astype(np.float32)
+    b = rng.integers(0, 255, (512, 64)).astype(np.float32)
+    return jnp.asarray(a), jnp.asarray(b)
+
+
+@pytest.fixture(scope="module")
+def descs(rng):
+    a = rng.integers(0, 2**32, (256, 8), dtype=np.uint32)
+    b = rng.integers(0, 2**32, (512, 8), dtype=np.uint32)
+    return jnp.asarray(a), jnp.asarray(b)
+
+
+class TestDistanceKernels:
+    def test_sad_pallas_matches_jnp(self, patches):
+        a, b = patches
+        ref = sad_matrix_jnp(a, b)
+        out = sad_matrix_pallas(a, b, interpret=True)
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+    def test_sad_nonsquare_tile(self, patches):
+        a, b = patches
+        ref = sad_matrix_jnp(a[:100], b[:200])
+        out = sad_matrix_pallas(a[:100], b[:200], interpret=True)
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+    def test_hamming_pallas_matches_jnp(self, descs):
+        a, b = descs
+        ref = hamming_matrix_jnp(a, b)
+        out = hamming_matrix_pallas(a, b, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_hamming_self_zero_diag(self, descs):
+        a, _ = descs
+        out = hamming_matrix_pallas(a, a, interpret=True)
+        np.testing.assert_allclose(np.diag(np.asarray(out)), 0.0)
+
+    def test_sad_reference_scalar_oracle(self, rng):
+        """Check one entry against a plain python double loop (the scalar
+        oracle the reference's compute_SAD8_default implements)."""
+        a = rng.integers(0, 255, (4, 64)).astype(np.float32)
+        b = rng.integers(0, 255, (4, 64)).astype(np.float32)
+        out = np.asarray(sad_matrix_jnp(jnp.asarray(a), jnp.asarray(b)))
+        for i in range(4):
+            for j in range(4):
+                expect = float(np.abs(a[i] - b[j]).sum())
+                assert out[i, j] == pytest.approx(expect, rel=1e-6)
+
+
+class TestWindowedSearch:
+    def test_recovers_known_offset(self, rng):
+        """Property of the reference's trackingSAD test (trackSAD_unittest):
+        the template must be found at its true location."""
+        img = jnp.asarray(rng.integers(0, 255, (120, 160)).astype(np.float32))
+        # template = the true 8x8 patch at (x,y); search centered nearby
+        true_xy = jnp.asarray([[80.0, 60.0], [40.0, 30.0], [100.0, 90.0]])
+        templates = extract_patches(img, true_xy)
+        centers = true_xy + jnp.asarray([[5.0, -3.0], [-6.0, 4.0], [0.0, 7.0]])
+        res = windowed_sad_search(img, templates, centers, win_x=8, win_y=8)
+        np.testing.assert_allclose(np.asarray(res.best_xy),
+                                   np.asarray(true_xy), atol=0.5)
+        np.testing.assert_allclose(np.asarray(res.best_sad), 0.0, atol=1e-3)
+
+    def test_masked_slots(self, rng):
+        img = jnp.asarray(rng.integers(0, 255, (64, 64)).astype(np.float32))
+        templates = jnp.zeros((2, 64))
+        centers = jnp.asarray([[32.0, 32.0], [20.0, 20.0]])
+        valid = jnp.asarray([True, False])
+        res = windowed_sad_search(img, templates, centers, 4, 4, valid)
+        assert np.asarray(res.best_sad)[1] > 1e30
