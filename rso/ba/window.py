@@ -1,0 +1,140 @@
+"""Sliding keyframe window: host-side bookkeeping feeding the BA solver.
+
+Builds on the reference's match-ID / keyframe machinery (C20:
+setThisFrameAsKF, match-ID propagation through tracking — SURVEY.md section
+5 notes these IDs are "precisely the data structure a window BA consumes").
+Landmark identity = stereo-match ID; each keyframe contributes its stereo
+observations of the IDs it sees.
+
+Host-side (numpy, runs at keyframe rate — the solve itself is the jitted
+rso.ba.bundle_adjust / distributed variant): fixed capacities W keyframes x
+L landmark slots, oldest-keyframe eviction, landmark slot recycling when no
+keyframe in the window observes the ID anymore.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from rso.ba.ba import BAProblem
+from rso.geometry.stereo_camera import StereoCamera
+
+
+class KeyframeObs(NamedTuple):
+    """One keyframe's contribution: stereo observations keyed by match ID."""
+
+    pose_wc: np.ndarray     # [4,4] camera-to-world (current best estimate)
+    ids: np.ndarray         # [N] int64 match IDs
+    obs: np.ndarray         # [N,4] (uL,vL,uR,vR) full-resolution coords
+
+
+class SlidingWindow:
+    def __init__(self, max_keyframes: int = 8, max_landmarks: int = 1024):
+        self.W = max_keyframes
+        self.L = max_landmarks
+        self.keyframes: list[KeyframeObs] = []
+
+    def add_keyframe(self, kf: KeyframeObs):
+        self.keyframes.append(kf)
+        if len(self.keyframes) > self.W:
+            self.keyframes.pop(0)  # marginalize-by-drop (oldest out)
+
+    def __len__(self):
+        return len(self.keyframes)
+
+    def build_problem(self, cam: StereoCamera) -> tuple[BAProblem, np.ndarray]:
+        """Assemble the fixed-shape BAProblem (+ the landmark-slot -> ID map).
+
+        Landmarks observed by >= 2 keyframes get slots (single-view points
+        carry no BA information beyond their anchor); initial positions are
+        triangulated from the first observing keyframe and transformed to
+        world frame.
+        """
+        from collections import Counter
+
+        from scipy.spatial.transform import Rotation
+
+        P = len(self.keyframes)
+        assert P >= 2, "window BA needs at least 2 keyframes"
+
+        counts = Counter()
+        for kf in self.keyframes:
+            counts.update(kf.ids.tolist())
+        shared = [i for i, c in counts.items() if c >= 2]
+        shared = shared[: self.L]
+        slot_of = {i: s for s, i in enumerate(shared)}
+        nL = len(shared)
+
+        obs = np.zeros((P, self.L, 4), np.float32)
+        mask = np.zeros((P, self.L), bool)
+        poses = np.zeros((P, 6), np.float32)
+        lmks = np.zeros((self.L, 3), np.float32)
+        lmk_set = np.zeros(self.L, bool)
+
+        fx_l = float(cam.fx_l)
+        cx_l, cy_l = float(cam.cx_l), float(cam.cy_l)
+        fx_r, cx_r = float(cam.fx_r), float(cam.cx_r)
+        baseline = float(cam.baseline)
+
+        for p, kf in enumerate(self.keyframes):
+            T = kf.pose_wc
+            R_cw = T[:3, :3].T
+            t_cw = -R_cw @ T[:3, 3]
+            poses[p, :3] = Rotation.from_matrix(R_cw).as_rotvec()
+            poses[p, 3:] = t_cw
+            for i, (mid, ob) in enumerate(zip(kf.ids, kf.obs)):
+                s = slot_of.get(int(mid))
+                if s is None:
+                    continue
+                obs[p, s] = ob
+                mask[p, s] = True
+                if not lmk_set[s]:
+                    ul, vl, ur = ob[0], ob[1], ob[2]
+                    denom = fx_l * (cx_r - ur) + fx_r * (ul - cx_l)
+                    if abs(denom) < 1e-9:
+                        continue
+                    b_d = baseline / denom
+                    Xc = np.array([b_d * fx_r * (ul - cx_l),
+                                   b_d * fx_r * (vl - cy_l),
+                                   b_d * fx_l * fx_r])
+                    lmks[s] = T[:3, :3] @ Xc + T[:3, 3]  # cam -> world
+                    lmk_set[s] = True
+
+        mask &= lmk_set[None, :]
+        import jax.numpy as jnp
+
+        prob = BAProblem(
+            poses=jnp.asarray(poses),
+            lmks=jnp.asarray(lmks),
+            obs=jnp.asarray(obs),
+            mask=jnp.asarray(mask),
+        )
+        return prob, np.array(shared + [-1] * (self.L - nL), np.int64)
+
+    def apply_result(self, poses6: np.ndarray):
+        """Write optimized world->cam poses back as camera-to-world matrices."""
+        from scipy.spatial.transform import Rotation
+
+        out = []
+        for p, kf in enumerate(self.keyframes):
+            R_cw = Rotation.from_rotvec(np.asarray(poses6[p, :3])).as_matrix()
+            t_cw = np.asarray(poses6[p, 3:])
+            T = np.eye(4)
+            T[:3, :3] = R_cw.T
+            T[:3, 3] = -R_cw.T @ t_cw
+            out.append(T)
+            self.keyframes[p] = kf._replace(pose_wc=T)
+        return np.stack(out)
+
+
+def should_make_keyframe(tracked_from_last_kf: int, total_matches: int,
+                         min_tracked_ratio: float = 0.5,
+                         min_tracked_abs: int = 40) -> bool:
+    """Keyframe policy driven by the reference's KF counters
+    (tracked_feats_from_last_KF, libstereo-odometry.h:245): promote when the
+    surviving-KF-track fraction decays."""
+    if total_matches == 0:
+        return True
+    return (tracked_from_last_kf < min_tracked_abs
+            or tracked_from_last_kf < min_tracked_ratio * total_matches)

@@ -34,6 +34,12 @@ def build_parser():
     p.add_argument("--load-state", help="resume engine checkpoint")
     p.add_argument("--verbosity", type=int, default=1)
     p.add_argument("--profile", action="store_true", help="print span profile at exit")
+    p.add_argument("--ba", action="store_true",
+                   help="sliding-window bundle adjustment at keyframe rate")
+    p.add_argument("--ba-window", type=int, default=8, help="BA keyframe window")
+    p.add_argument("--ba-landmarks", type=int, default=1024, help="BA landmark slots")
+    p.add_argument("--ba-distributed", action="store_true",
+                   help="shard BA landmarks over all local devices")
     return p
 
 
@@ -106,24 +112,52 @@ def main(argv=None):
             return 2
 
     # ---- main loop (reference demo-main.cpp:210-287) -----------------------
+    ba = None
+    if args.ba:
+        from rso.ba.pipeline import VOWithBA
+
+        mesh = None
+        if args.ba_distributed:
+            from rso.ba.distributed import make_mesh
+
+            mesh = make_mesh()
+        ba = VOWithBA(cfg, cam, max_keyframes=args.ba_window,
+                      max_landmarks=args.ba_landmarks, mesh=mesh)
+        ba.engine = eng
+
     T = np.eye(4)
     poses = [T.copy()]
     times = [0.0]
     n_frames = 0
+    n_kf = 0
     t_start = time.time()
     for left, right, ts in frames:
         with prof.span("processNewImagePair"):
-            res = eng.process_frame(left, right)
-        if bool(res.valid):
-            T = T @ np.asarray(pose_matrix(res.pose))
+            if ba is not None:
+                out = ba.process_frame(left, right)
+                T = out.pose_wc
+                n_kf += int(out.is_keyframe)
+                valid = out.vo_valid
+            else:
+                res = eng.process_frame(left, right)
+                valid = bool(res.valid)
+                if valid:
+                    T = T @ np.asarray(pose_matrix(res.pose))
         poses.append(T.copy())
         times.append(ts)
         n_frames += 1
-        logger.log(1, f"[rso] frame {n_frames}: valid={bool(res.valid)} "
-                      f"({error_name(res.error_code)}) "
-                      f"tracked={int(res.tracked_feats_from_last_frame)} "
-                      f"pos={T[:3, 3].round(3).tolist()}")
+        if ba is not None:
+            logger.log(1, f"[rso] frame {n_frames}: valid={valid} "
+                          f"kf={bool(out.is_keyframe)} "
+                          f"pos={T[:3, 3].round(3).tolist()}")
+        else:
+            logger.log(1, f"[rso] frame {n_frames}: valid={valid} "
+                          f"({error_name(res.error_code)}) "
+                          f"tracked={int(res.tracked_feats_from_last_frame)} "
+                          f"pos={T[:3, 3].round(3).tolist()}")
     wall = time.time() - t_start
+    if ba is not None:
+        print(f"[rso] {n_kf} keyframes in window BA")
 
     poses = np.stack(poses)
     from rso.io.trajectory import write_kitti, write_tum

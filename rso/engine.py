@@ -315,31 +315,12 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
             trk = TrackResult(cur_idx=trk_idx, valid=trk_valid,
                               n_tracked=jnp.sum(trk_valid.astype(jnp.int32)))
             tracks.append(trk)
-            n_tracked_total = n_tracked_total + trk.n_tracked
 
-            # ID propagation: scatter prev ids to tracked cur slots
-            safe_cur = jnp.maximum(trk.cur_idx, 0)
-            tracked_mask_cur = jnp.zeros((K,), jnp.bool_).at[safe_cur].set(
-                trk.valid, mode="drop")
-            prop_ids = jnp.full((K,), -1, jnp.int32).at[safe_cur].set(
-                jnp.where(trk.valid, p.match_ids, -1), mode="drop")
-            ids, last_id = _assign_new_ids(
-                c.matches.valid, tracked_mask_cur, prop_ids, last_id)
-            final_octs.append(c._replace(match_ids=ids))
-            n_tracked_kf = n_tracked_kf + jnp.sum(
-                ((ids >= 0) & (ids <= state.last_kf_max_id)).astype(jnp.int32))
-
-        cur_view = FrameView(octaves=tuple(final_octs))
-
-        # ---- stage 4.1: robustness gate (C9) --------------------------------
-        bad_tracking = state.have_prev & (
-            n_tracked_total < cfg.least_squares.bad_tracking_th)
-
-        # ---- stage 5: gather tracks, NMS, solve (C10-C13) -------------------
+        # ---- gather tracks into the flat cross-octave set -------------------
         prev_obs_l, cur_obs_l, resp_l, mask_l, w_l = [], [], [], [], []
         for o in range(O):
             p = state.prev.octaves[o]
-            c = final_octs[o]
+            c = cur_octs[o]
             trk = tracks[o]
             # octave -> full-res mapping.  The 2x2-mean pyramid puts octave-o
             # pixel centers at 2^o*x + (2^o-1)/2 full-res (the reference's
@@ -391,6 +372,32 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
                 threshold=cfg.tpu.ransac_threshold)
             both = resL.inliers & resR.inliers
             tmask = jnp.where(resL.ok & resR.ok, both, tmask)
+
+        # ---- ID propagation (C20) with the POST-filter tracks ---------------
+        # (false tracks must not carry landmark identity into the BA window)
+        n_tracked_total = jnp.sum(tmask.astype(jnp.int32))
+        for o in range(O):
+            p = state.prev.octaves[o]
+            c = cur_octs[o]
+            trk_ok = tmask[o * K:(o + 1) * K]
+            trk_idx = tracks[o].cur_idx
+            # scatter prev ids to tracked cur slots; invalid entries scatter
+            # out of bounds (index K) and are dropped
+            tgt = jnp.where(trk_ok, trk_idx, K)
+            tracked_mask_cur = jnp.zeros((K,), jnp.bool_).at[tgt].set(
+                True, mode="drop")
+            prop_ids = jnp.full((K,), -1, jnp.int32).at[tgt].set(
+                p.match_ids, mode="drop")
+            ids, last_id = _assign_new_ids(
+                c.matches.valid, tracked_mask_cur, prop_ids, last_id)
+            final_octs.append(c._replace(match_ids=ids))
+            n_tracked_kf = n_tracked_kf + jnp.sum(
+                ((ids >= 0) & (ids <= state.last_kf_max_id)).astype(jnp.int32))
+        cur_view = FrameView(octaves=tuple(final_octs))
+
+        # ---- stage 4.1: robustness gate (C9) --------------------------------
+        bad_tracking = state.have_prev & (
+            n_tracked_total < cfg.least_squares.bad_tracking_th)
 
         nms_keep = _stage5_nms(prev_obs[:, :2], resp, tmask, img_w, img_h,
                                cfg.detect.min_distance)

@@ -1,0 +1,192 @@
+"""Bundle adjustment tests: recovery on synthetic problems, distributed ==
+single-device over a virtual 8-chip mesh, window bookkeeping, keyframe policy,
+and the VO+BA pipeline end-to-end.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from rso.ba import (
+    BAProblem,
+    KeyframeObs,
+    SlidingWindow,
+    bundle_adjust,
+    distributed_bundle_adjust,
+    make_mesh,
+    should_make_keyframe,
+)
+from rso.ba.ba import _project_grid
+from rso.geometry.stereo_camera import StereoCamera
+
+CAM = StereoCamera.make(fx_l=500.0, fy_l=500.0, cx_l=320.0, cy_l=240.0,
+                        baseline=0.5)
+
+
+def make_ba_problem(rng, P=5, L=96, noise=0.2, pose_pert=0.01, lmk_pert=0.2,
+                    drop=0.0):
+    true_poses = []
+    for p in range(P):
+        T_wc = np.array([0.01 * p, -0.005 * p, 0.4 * p])
+        w = np.array([0.0, 0.002 * p, 0.0])
+        R = Rotation.from_rotvec(w).as_matrix()
+        Rwc = R.T
+        t = -Rwc @ T_wc
+        true_poses.append(
+            np.concatenate([Rotation.from_matrix(Rwc).as_rotvec(), t]))
+    true_poses = jnp.asarray(np.stack(true_poses), jnp.float32)
+    lmks_true = jnp.asarray(np.stack([
+        rng.uniform(-8, 8, L), rng.uniform(-4, 4, L), rng.uniform(5, 30, L),
+    ], -1), jnp.float32)
+    pix, _, _ = _project_grid(CAM, true_poses, lmks_true)
+    obs = pix + jnp.asarray(rng.normal(0, noise, pix.shape), jnp.float32)
+    mask = jnp.asarray(rng.random((P, L)) >= drop)
+    poses0 = (true_poses + jnp.asarray(
+        rng.normal(0, pose_pert, (P, 6)), jnp.float32)).at[0].set(true_poses[0])
+    lmks0 = lmks_true + jnp.asarray(rng.normal(0, lmk_pert, (L, 3)), jnp.float32)
+    return (BAProblem(poses0, lmks0, obs, mask), true_poses, lmks_true)
+
+
+class TestBundleAdjust:
+    def test_recovery(self, rng):
+        prob, true_poses, _ = make_ba_problem(rng)
+        res = bundle_adjust(CAM, prob, max_iters=25)
+        err0 = float(jnp.mean(jnp.abs(prob.poses - true_poses)))
+        err1 = float(jnp.mean(jnp.abs(res.poses - true_poses)))
+        assert err1 < err0 / 5
+
+    def test_reprojection_reaches_noise_floor(self, rng):
+        prob, tp, tl = make_ba_problem(rng, noise=0.2)
+        res = bundle_adjust(CAM, prob, max_iters=30)
+        pix, _, _ = _project_grid(CAM, res.poses, res.lmks)
+        rmse = float(jnp.sqrt(jnp.mean(jnp.sum((prob.obs - pix) ** 2, -1))))
+        assert rmse < 0.6  # 4-channel residual, 0.2px/channel noise floor ~0.4
+
+    def test_gauge_fixed(self, rng):
+        prob, true_poses, _ = make_ba_problem(rng)
+        res = bundle_adjust(CAM, prob, max_iters=10)
+        np.testing.assert_array_equal(np.asarray(res.poses[0]),
+                                      np.asarray(prob.poses[0]))
+
+    def test_masked_observations(self, rng):
+        prob, true_poses, _ = make_ba_problem(rng, drop=0.4)
+        res = bundle_adjust(CAM, prob, max_iters=25)
+        err1 = float(jnp.mean(jnp.abs(res.poses - true_poses)))
+        assert err1 < 0.003
+
+    def test_cost_decreases(self, rng):
+        prob, _, _ = make_ba_problem(rng)
+        r5 = bundle_adjust(CAM, prob, max_iters=3)
+        r25 = bundle_adjust(CAM, prob, max_iters=25)
+        assert float(r25.cost) <= float(r5.cost) + 1e-3
+
+
+class TestDistributedBA:
+    def test_matches_single_device(self, rng):
+        """8-way landmark-sharded Schur == single device (f32 tolerance)."""
+        assert len(jax.devices()) >= 8
+        prob, _, _ = make_ba_problem(rng, L=96)
+        res1 = bundle_adjust(CAM, prob, max_iters=12)
+        res8 = distributed_bundle_adjust(CAM, prob, make_mesh(8), max_iters=12)
+        np.testing.assert_allclose(np.asarray(res8.poses),
+                                   np.asarray(res1.poses), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res8.lmks[:96]),
+                                   np.asarray(res1.lmks), atol=1e-3)
+
+    def test_uneven_padding(self, rng):
+        prob, true_poses, _ = make_ba_problem(rng, L=67)  # not divisible by 8
+        res1 = bundle_adjust(CAM, prob, max_iters=12)
+        res8 = distributed_bundle_adjust(CAM, prob, make_mesh(8), max_iters=12)
+        # padding slots must not change the solution vs single-device
+        np.testing.assert_allclose(np.asarray(res8.poses),
+                                   np.asarray(res1.poses), atol=1e-4)
+
+    def test_two_device_mesh(self, rng):
+        prob, _, _ = make_ba_problem(rng, L=96)
+        res1 = bundle_adjust(CAM, prob, max_iters=8)
+        res2 = distributed_bundle_adjust(CAM, prob, make_mesh(2), max_iters=8)
+        np.testing.assert_allclose(np.asarray(res2.poses),
+                                   np.asarray(res1.poses), atol=1e-4)
+
+
+class TestWindow:
+    def _kf(self, rng, ids, z=0.0):
+        n = len(ids)
+        obs = np.stack([rng.uniform(100, 500, n), rng.uniform(100, 300, n),
+                        rng.uniform(80, 480, n), rng.uniform(100, 300, n)], -1)
+        obs[:, 2] = obs[:, 0] - rng.uniform(5, 40, n)  # positive disparity
+        obs[:, 3] = obs[:, 1]
+        T = np.eye(4)
+        T[2, 3] = z
+        return KeyframeObs(pose_wc=T, ids=np.asarray(ids, np.int64),
+                           obs=obs.astype(np.float32))
+
+    def test_eviction(self, rng):
+        w = SlidingWindow(max_keyframes=3)
+        for i in range(5):
+            w.add_keyframe(self._kf(rng, [1, 2, 3], z=i))
+        assert len(w) == 3
+        assert w.keyframes[0].pose_wc[2, 3] == 2.0  # oldest two evicted
+
+    def test_build_problem_shared_only(self, rng):
+        w = SlidingWindow(max_keyframes=4, max_landmarks=16)
+        w.add_keyframe(self._kf(rng, [1, 2, 3, 99]))
+        w.add_keyframe(self._kf(rng, [2, 3, 4], z=0.3))
+        prob, ids = w.build_problem(CAM)
+        nv = int(np.asarray(prob.mask).any(0).sum())
+        assert nv == 2  # only ids 2 and 3 are shared
+        assert set(ids[ids >= 0].tolist()) == {2, 3}
+
+    def test_apply_result_roundtrip(self, rng):
+        w = SlidingWindow(max_keyframes=4)
+        w.add_keyframe(self._kf(rng, [1, 2, 3]))
+        w.add_keyframe(self._kf(rng, [1, 2, 3], z=0.5))
+        prob, _ = w.build_problem(CAM)
+        out = w.apply_result(np.asarray(prob.poses))  # identity refinement
+        np.testing.assert_allclose(out[1][2, 3], 0.5, atol=1e-5)
+
+
+class TestKeyframePolicy:
+    def test_policy(self):
+        assert should_make_keyframe(10, 100)        # ratio below 0.5
+        assert should_make_keyframe(30, 100)        # below min_abs 40
+        assert not should_make_keyframe(80, 100)
+        assert should_make_keyframe(0, 0)
+
+
+class TestPipeline:
+    def test_vo_with_ba_improves_or_matches(self, rng):
+        from rso.ba.pipeline import VOWithBA
+        from rso.engine import Engine
+        from rso.geometry import pose_matrix
+        from rso.metrics.ate import ate_rmse
+        from rso.synthetic import make_sequence, synthetic_config
+
+        seq = make_sequence(n_frames=16, n_points=2000, speed=0.25,
+                            yaw_rate=0.01)
+        cfg = synthetic_config()
+
+        eng = Engine(cfg, seq.cam)
+        T = np.eye(4)
+        poses_vo = [T.copy()]
+        for l, r in seq.frames:
+            res = eng.process_frame(l, r)
+            if bool(res.valid):
+                T = T @ np.asarray(pose_matrix(res.pose))
+            poses_vo.append(T.copy())
+        ate_vo = ate_rmse(np.stack(poses_vo)[: len(seq.poses)], seq.poses)
+
+        vo = VOWithBA(cfg, seq.cam, max_keyframes=8, max_landmarks=768)
+        poses_ba = [np.eye(4)]
+        n_kf = 0
+        for l, r in seq.frames:
+            out = vo.process_frame(l, r)
+            n_kf += int(out.is_keyframe)
+            poses_ba.append(out.pose_wc)
+        ate_ba = ate_rmse(np.stack(poses_ba)[: len(seq.poses)], seq.poses)
+
+        assert 3 <= n_kf < len(seq.frames)  # keyframes are spaced
+        assert np.isfinite(ate_ba)
+        assert ate_ba < ate_vo * 1.5  # BA never catastrophically degrades
