@@ -208,8 +208,20 @@ def _stage5_nms(xy, resp, mask, img_w, img_h, min_distance):
 # ---------------------------------------------------------------------------
 
 
-def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
-    """Build the jitted step function for a fixed config + image size."""
+def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
+              rectify_maps=None, precomputed: str | None = None):
+    """Build the jitted step function for a fixed config + image size.
+
+    rectify_maps: optional ((mlx,mly),(mrx,mry)) float32 [H,W] sample maps
+        (from rso.io.calib.compute_rectify_maps) applied on device before the
+        pyramid — the engine half of stage 1's CStereoRectifyMap (reference
+        stage1_rectify.cpp:66-73).
+    precomputed: None for the full pipeline; "feats" to inject externally
+        computed features (skip stages 1-2); "matches" to also inject stereo
+        matches (skip stages 1-3).  This is the reference's
+        use_precomputed_data seam (process_new_image_pair.cpp:131-162,
+        :219-251) that SLAM layers above use.
+    """
     O = cfg.n_octaves
     K = cfg.tpu.max_kps_per_octave
     budgets = octave_budget(cfg.detect.orb_nfeats, O)
@@ -227,14 +239,29 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
     else:
         min_response = 0.0  # reference stage3:188-193
 
-    def step(state: EngineState, left_img, right_img) -> tuple[EngineState, StepResult]:
-        # ---- stage 1: grayscale + pyramid (C5) -------------------------------
+    if precomputed and cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
+        raise ValueError("precomputed-data injection requires a descriptor/"
+                         "SAD tracking mode (no images for optical flow)")
+
+    if rectify_maps is not None:
+        (_mlx, _mly), (_mrx, _mry) = rectify_maps
+        _maps = (jnp.asarray(_mlx), jnp.asarray(_mly),
+                 jnp.asarray(_mrx), jnp.asarray(_mry))
+    else:
+        _maps = None
+
+    def _stages_1_2(state, left_img, right_img):
+        """Stage 1 (grayscale/rectify/pyramid, C5) + stage 2 (detect, C6)."""
+        from rso.frontend.pyramid import bilinear_remap
+
         gl = to_grayscale(left_img)
         gr = to_grayscale(right_img)
+        if _maps is not None:
+            gl = bilinear_remap(gl, _maps[0], _maps[1])
+            gr = bilinear_remap(gr, _maps[2], _maps[3])
         pyr_l = build_pyramid(gl, O)
         pyr_r = build_pyramid(gr, O)
 
-        # ---- stage 2: detect (C6) -------------------------------------------
         octs = []
         new_fast_th = []
         detected = []
@@ -256,21 +283,61 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
                 th = update_fast_threshold(
                     th, jnp.sum(fl.valid.astype(jnp.int32)), area, cfg.detect)
             new_fast_th.append(th)
+        return pyr_l, pyr_r, octs, new_fast_th, detected
 
-        # ---- stage 3: stereo match (C7) -------------------------------------
+    def _stage_3(octs):
+        """Stage 3 (stereo match, C7)."""
         cur_octs = []
         n_matches = []
         for o in range(O):
             fl, fr = octs[o]
             fxb = (float(cam.fx_l) * float(cam.baseline) / (2 ** o)
                    if cfg.lr_match.use_z_gate else None)
-            m = match_left_right(fl, fr, cfg.lr_match, pyr_l[o].shape[1],
+            m = match_left_right(fl, fr, cfg.lr_match, img_w >> o,
                                  min_response, fx_baseline=fxb,
                                  use_pallas=cfg.tpu.use_pallas,
                                  interpret_pallas=cfg.tpu.interpret_pallas)
             cur_octs.append(OctaveData(left=fl, right=fr, matches=m,
                                        match_ids=jnp.full((K,), -1, jnp.int32)))
             n_matches.append(jnp.sum(m.valid.astype(jnp.int32)))
+        return cur_octs, n_matches
+
+    if precomputed == "matches":
+        def step_pre(state: EngineState, octs, matches) -> tuple[EngineState, StepResult]:
+            detected = [jnp.stack([jnp.sum(fl.valid.astype(jnp.int32)),
+                                   jnp.sum(fr.valid.astype(jnp.int32))])
+                        for fl, fr in octs]
+            cur_octs = [OctaveData(left=octs[o][0], right=octs[o][1],
+                                   matches=matches[o],
+                                   match_ids=jnp.full((K,), -1, jnp.int32))
+                        for o in range(O)]
+            n_matches = [jnp.sum(m.valid.astype(jnp.int32)) for m in matches]
+            pyr_l = pyr_r = None
+            new_fast_th = [state.fast_th[o] for o in range(O)]
+            return _tail(state, pyr_l, pyr_r, cur_octs, n_matches, detected,
+                         new_fast_th)
+
+    elif precomputed == "feats":
+        def step_pre(state: EngineState, octs) -> tuple[EngineState, StepResult]:
+            detected = [jnp.stack([jnp.sum(fl.valid.astype(jnp.int32)),
+                                   jnp.sum(fr.valid.astype(jnp.int32))])
+                        for fl, fr in octs]
+            cur_octs, n_matches = _stage_3(octs)
+            pyr_l = pyr_r = None
+            new_fast_th = [state.fast_th[o] for o in range(O)]
+            return _tail(state, pyr_l, pyr_r, cur_octs, n_matches, detected,
+                         new_fast_th)
+    else:
+        step_pre = None
+
+    def step(state: EngineState, left_img, right_img) -> tuple[EngineState, StepResult]:
+        pyr_l, pyr_r, octs, new_fast_th, detected = _stages_1_2(
+            state, left_img, right_img)
+        cur_octs, n_matches = _stage_3(octs)
+        return _tail(state, pyr_l, pyr_r, cur_octs, n_matches, detected,
+                     new_fast_th)
+
+    def _tail(state, pyr_l, pyr_r, cur_octs, n_matches, detected, new_fast_th):
 
         # ---- stage 4: inter-frame tracking (C8) + IDs (C20) -----------------
         key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_idx)
@@ -470,7 +537,7 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int):
         )
         return new_state, result
 
-    return step
+    return step_pre if precomputed else step
 
 
 # ---------------------------------------------------------------------------
@@ -486,17 +553,21 @@ class Engine:
     rso.io.checkpoint).
     """
 
-    def __init__(self, cfg: RSOConfig, cam: StereoCamera):
+    def __init__(self, cfg: RSOConfig, cam: StereoCamera, rectify_maps=None):
         self.cfg = cfg
         self.cam = cam
+        self.rectify_maps = rectify_maps
         self.state: EngineState | None = None
-        self._step_cache: dict[tuple[int, int], object] = {}
+        self._step_cache: dict[tuple, object] = {}
 
-    def _get_step(self, h: int, w: int):
-        if (h, w) not in self._step_cache:
-            self._step_cache[(h, w)] = jax.jit(
-                make_step(self.cfg, self.cam, h, w))
-        return self._step_cache[(h, w)]
+    def _get_step(self, h: int, w: int, precomputed: str | None = None):
+        key = (h, w, precomputed)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                make_step(self.cfg, self.cam, h, w,
+                          rectify_maps=self.rectify_maps,
+                          precomputed=precomputed))
+        return self._step_cache[key]
 
     def process_frame(self, left_img, right_img) -> StepResult:
         """Run one frame through the pipeline; updates internal state."""
@@ -507,6 +578,74 @@ class Engine:
             self.state = init_state(self.cfg, (h, w))
         step = self._get_step(h, w)
         self.state, result = step(self.state, left_img, right_img)
+        return result
+
+    def process_precomputed(self, feats_left, feats_right, matches=None,
+                            img_hw=(376, 1241)) -> StepResult:
+        """Run the pipeline on externally computed features (the reference's
+        use_precomputed_data path, process_new_image_pair.cpp:131-162): skip
+        stages 1-2, and stage 3 too when `matches` is given.
+
+        feats_left/right: per-octave lists of dicts or Features with keys
+        xy [N,2], response [N], desc [N,8] uint32 (descriptor modes).
+        matches: optional per-octave list of (left_idx, right_idx) int arrays.
+        """
+        if self.cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
+            raise ValueError("precomputed-data injection requires a "
+                             "descriptor/SAD tracking mode")
+        K = self.cfg.tpu.max_kps_per_octave
+        O = self.cfg.n_octaves
+        h, w = img_hw
+        if self.state is None:
+            self.state = init_state(self.cfg, (h, w))
+
+        def to_features(f) -> Features:
+            if isinstance(f, Features):
+                return f
+            xy = np.asarray(f["xy"], np.float32)
+            n = min(len(xy), K)
+            out = _empty_features(K)
+            out = out._replace(
+                xy=out.xy.at[:n].set(xy[:n]),
+                response=out.response.at[:n].set(
+                    np.asarray(f.get("response", np.ones(len(xy))),
+                               np.float32)[:n]),
+                valid=out.valid.at[:n].set(True),
+            )
+            if "desc" in f:
+                out = out._replace(
+                    desc=out.desc.at[:n].set(
+                        np.asarray(f["desc"], np.uint32)[:n]))
+            if "patch" in f:
+                out = out._replace(
+                    patch=out.patch.at[:n].set(
+                        np.asarray(f["patch"], np.float32)[:n]))
+            return out
+
+        octs = tuple((to_features(feats_left[o]), to_features(feats_right[o]))
+                     for o in range(O))
+        if matches is None:
+            step = self._get_step(h, w, precomputed="feats")
+            self.state, result = step(self.state, octs)
+        else:
+            ms = []
+            for o in range(O):
+                li, ri = matches[o]
+                m = StereoMatches(
+                    ridx=jnp.full((K,), -1, jnp.int32),
+                    dist=jnp.zeros((K,), jnp.float32),
+                    valid=jnp.zeros((K,), jnp.bool_),
+                )
+                li = np.asarray(li, np.int64)
+                ri = np.asarray(ri, np.int64)
+                keep = (li < K) & (ri < K)
+                m = m._replace(
+                    ridx=m.ridx.at[li[keep]].set(ri[keep].astype(np.int32)),
+                    valid=m.valid.at[li[keep]].set(True),
+                )
+                ms.append(m)
+            step = self._get_step(h, w, precomputed="matches")
+            self.state, result = step(self.state, octs, tuple(ms))
         return result
 
     def set_this_frame_as_kf(self):
