@@ -187,6 +187,12 @@ class TPUParams:
     # XLA path is currently ~20% faster for the [512,512]x64 shapes (488us vs
     # 589us SAD), so the fused path is the default.
     use_pallas: bool = False
+    # LK subpixel alignment of tracked observations against the previous
+    # frame's stored patches before the pose solve (rso.frontend.refine) —
+    # gated on per-feature SSD improvement; accuracy-neutral on the synthetic
+    # blob data (error there is match-structure-limited), expected to help on
+    # gradient-rich real imagery — off by default until validated on KITTI
+    subpixel_track_refine: bool = False
     interpret_pallas: bool = False     # run Pallas kernels in interpreter mode (CPU tests)
 
 

@@ -405,6 +405,24 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
             cL_xy = c.left.xy[safe_c]
             c_ridx = jnp.maximum(c.matches.ridx[safe_c], 0)
             cR_xy = c.right.xy[c_ridx]
+
+            # subpixel: align current observations to the previous frame's
+            # patches (LK, translation-only) before they reach the solver
+            if cfg.tpu.subpixel_track_refine and pyr_l is not None:
+                from rso.frontend.refine import refine_positions
+
+                # stored templates are centered on ROUNDED prev coords; the
+                # LK-aligned position therefore estimates the rounded point's
+                # new location — add back the prev subpixel fraction so the
+                # measurement is consistent with the subpixel prev_obs
+                frac_l = p.left.xy - jnp.round(p.left.xy)
+                frac_r = pR_xy - jnp.round(pR_xy)
+                cL_xy = refine_positions(pyr_l[o], p.left.patch, cL_xy,
+                                         trk.valid) + frac_l
+                pR_patch = p.right.patch[p_ridx]
+                cR_xy = refine_positions(pyr_r[o], pR_patch, cR_xy,
+                                         trk.valid) + frac_r
+
             cur_obs = jnp.concatenate(
                 [cL_xy, cR_xy[:, :1], cR_xy[:, 1:2]], axis=1) * scale + shift
 
