@@ -576,6 +576,7 @@ class Engine:
         self.cam = cam
         self.rectify_maps = rectify_maps
         self.state: EngineState | None = None
+        self._state_before_last: EngineState | None = None
         self._step_cache: dict[tuple, object] = {}
 
     def _get_step(self, h: int, w: int, precomputed: str | None = None):
@@ -587,16 +588,90 @@ class Engine:
                           precomputed=precomputed))
         return self._step_cache[key]
 
-    def process_frame(self, left_img, right_img) -> StepResult:
-        """Run one frame through the pipeline; updates internal state."""
+    def process_frame(self, left_img, right_img,
+                      repeat: bool = False) -> StepResult:
+        """Run one frame through the pipeline; updates internal state.
+
+        repeat=True re-runs against the SAME previous frame as the last call
+        (the reference's request.repeat semantics,
+        process_new_image_pair.cpp:86-95: the prev-frame shift is skipped so
+        the new images are matched against the last good frame).
+        """
         left_img = jnp.asarray(left_img)
         right_img = jnp.asarray(right_img)
         h, w = left_img.shape[:2]
         if self.state is None:
             self.state = init_state(self.cfg, (h, w))
+        if repeat and self._state_before_last is not None:
+            self.state = self._state_before_last
+        self._state_before_last = self.state
         step = self._get_step(h, w)
         self.state, result = step(self.state, left_img, right_img)
         return result
+
+    # ---- dynamic threshold accessors (reference h:529-541) ----------------
+
+    def get_fast_threshold(self) -> int:
+        st = self.state or init_state(self.cfg)
+        return int(np.asarray(st.fast_th)[0])
+
+    def set_fast_threshold(self, value: int):
+        """Clamp to [fast_min_th, fast_max_th] and set all octaves (the
+        dynamic FAST threshold the SLAM layer adjusts)."""
+        v = int(np.clip(value, self.cfg.detect.fast_min_th,
+                        self.cfg.detect.fast_max_th))
+        if self.state is None:
+            self.state = init_state(self.cfg)
+        self.state = self.state._replace(
+            fast_th=jnp.full_like(self.state.fast_th, v))
+
+    def reset_fast_threshold(self):
+        self.set_fast_threshold(self.cfg.detect.initial_FAST_threshold)
+
+    def is_fast_th_min(self) -> bool:
+        return self.get_fast_threshold() == self.cfg.detect.fast_min_th
+
+    def is_fast_th_max(self) -> bool:
+        return self.get_fast_threshold() == self.cfg.detect.fast_max_th
+
+    def get_orb_threshold(self) -> float:
+        return self.cfg.lr_match.orb_max_distance
+
+    def set_orb_threshold(self, value: float):
+        """Clamp to [orb_min_th, orb_max_th]; the ORB matching distance is a
+        static jit arg, so changing it recompiles the step (the reference's
+        m_current_orb_th is adjusted at SLAM-keyframe rate, so this is
+        rare)."""
+        v = float(np.clip(value, self.cfg.lr_match.orb_min_th,
+                          self.cfg.lr_match.orb_max_th))
+        self.cfg = self.cfg.replace(
+            lr_match=dataclasses.replace(self.cfg.lr_match,
+                                         orb_max_distance=v),
+            if_match=dataclasses.replace(self.cfg.if_match,
+                                         orb_max_distance=v),
+        )
+        self._step_cache.clear()
+
+    def is_orb_th_min(self) -> bool:
+        return self.cfg.lr_match.orb_max_distance <= self.cfg.lr_match.orb_min_th
+
+    def is_orb_th_max(self) -> bool:
+        return self.cfg.lr_match.orb_max_distance >= self.cfg.lr_match.orb_max_th
+
+    def set_ids(self, ids):
+        """Overwrite octave-0 match IDs (reference setIds, h:687-694 — used
+        by the SLAM layer to re-key matches after loop closure)."""
+        assert self.state is not None
+        ids = np.asarray(ids, np.int32)
+        K = self.cfg.tpu.max_kps_per_octave
+        oct0 = self.state.prev.octaves[0]
+        new_ids = jnp.full((K,), -1, jnp.int32).at[: len(ids)].set(
+            jnp.asarray(ids[:K]))
+        octs = (oct0._replace(match_ids=new_ids),) + self.state.prev.octaves[1:]
+        self.state = self.state._replace(
+            prev=FrameView(octaves=octs),
+            last_match_id=jnp.maximum(self.state.last_match_id,
+                                      jnp.int32(ids.max() + 1 if len(ids) else 0)))
 
     def process_precomputed(self, feats_left, feats_right, matches=None,
                             img_hw=(376, 1241)) -> StepResult:

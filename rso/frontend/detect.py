@@ -97,15 +97,27 @@ def fast_corner_mask(img: jnp.ndarray, threshold: jnp.ndarray, arc: int = 12) ->
     dark = neigh < (img - t)[None]
 
     def has_arc(b):
-        # circular: append first arc-1 entries, then AND over each window
-        bb = jnp.concatenate([b, b[: arc - 1]], axis=0).astype(jnp.int32)
-        # windowed product via cumulative sum of logs is overkill; unrolled AND
-        acc = jnp.ones_like(img, dtype=jnp.bool_)
-        out = jnp.zeros_like(img, dtype=jnp.bool_)
-        for s in range(16):
-            w = bb[s : s + arc]
-            out = out | (jnp.sum(w, axis=0) == arc)
-        return out
+        # run-length doubling on the circular 16-axis: R_{2k}[i] = R_k[i] &
+        # R_k[i+k]; compose R_arc from powers of two.  O(log arc) vector ANDs
+        # instead of 16*arc.
+        def rot(x, s):
+            return jnp.roll(x, -s, axis=0)
+
+        runs = {1: b}
+        k = 1
+        while 2 * k <= arc:
+            runs[2 * k] = runs[k] & rot(runs[k], k)
+            k *= 2
+        need = arc
+        acc = None
+        offset = 0
+        for p in sorted(runs, reverse=True):
+            while need >= p:
+                term = rot(runs[p], offset)
+                acc = term if acc is None else (acc & term)
+                offset += p
+                need -= p
+        return jnp.any(acc, axis=0)
 
     corner = has_arc(bright) | has_arc(dark)
     # zero out the 3px wrap-around border introduced by roll
@@ -177,6 +189,31 @@ def nms_grid(response: jnp.ndarray, radius: int) -> jnp.ndarray:
         window_strides=(1, 1), padding="SAME",
     )
     return response >= wmax
+
+
+def adaptive_nms_select(xy: jnp.ndarray, resp: jnp.ndarray,
+                        valid: jnp.ndarray, num_out: int,
+                        min_radius: float = 0.0, crob: float = 0.9):
+    """Adaptive (suppression-radius) non-maximal suppression.
+
+    Vectorized form of the reference's m_adaptive_non_max_sup
+    (stage2_detect.cpp:141-215): each keypoint's radius is its squared
+    distance to the nearest keypoint that beats it by the robustness factor
+    (resp_i < crob * resp_j); the global maximum gets infinite radius; keep
+    the `num_out` largest radii above min_radius^2.
+
+    Returns a refined validity mask over the same slots.
+    """
+    K = xy.shape[0]
+    d2 = jnp.sum((xy[:, None, :] - xy[None, :, :]) ** 2, axis=-1)
+    stronger = (resp[:, None] < crob * resp[None, :]) & valid[None, :]
+    d2 = jnp.where(stronger & valid[:, None], d2, jnp.inf)
+    radius = jnp.min(d2, axis=1)            # inf if nothing stronger
+    radius = jnp.where(valid, radius, -jnp.inf)
+    order = jnp.argsort(-radius)            # descending radius
+    rank = jnp.zeros((K,), jnp.int32).at[order].set(jnp.arange(K, dtype=jnp.int32))
+    keep = valid & (rank < num_out) & (radius > min_radius * min_radius)
+    return keep
 
 
 def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
@@ -351,6 +388,15 @@ def detect_features(
         min_resp = (params.minimum_KLT_response
                     if method == DetectMethod.FASTER else 0.0)
 
+    from rso.config import NMSMethod
+    use_adaptive = (params.non_maximal_suppression
+                    and params.nmsMethod == NMSMethod.ADAPTIVE)
+    if use_adaptive:
+        # adaptive NMS works on the candidate list: a light 3x3 local-max
+        # prefilter supplies genuine peaks (the reference feeds it detector
+        # output that is already locally sparse), then radius suppression
+        # picks the spatial spread after top-K selection
+        keep = nms_grid(resp, 1)
     if not params.non_maximal_suppression:
         keep = jnp.ones_like(keep) if method == DetectMethod.KLT else (
             resp > -jnp.inf)
@@ -363,6 +409,8 @@ def detect_features(
     keep = keep & inb
 
     xy, resp_k, valid = select_topk(resp, keep, k_slots, min_resp)
+    if use_adaptive:
+        valid = adaptive_nms_select(xy, resp_k, valid, k_slots)
     xy = jnp.where(valid[:, None], xy, 0.0)
 
     patch = extract_patches(img, xy)

@@ -122,3 +122,66 @@ class TestEngineE2E:
             res1 = eng1.process_frame(l, r)
             res2 = eng2.process_frame(l, r)
         np.testing.assert_array_equal(np.asarray(res1.pose), np.asarray(res2.pose))
+
+
+class TestEngineAPIs:
+    def test_repeat_semantics(self, seq):
+        """repeat=True must rerun against the same prev frame: the state's
+        prev view after a repeat call reflects the new images, but tracking
+        happened against the pre-previous state."""
+        from rso.synthetic import synthetic_config
+
+        eng = Engine(synthetic_config(), seq.cam)
+        eng.process_frame(*seq.frames[0])
+        eng.process_frame(*seq.frames[1])
+        r_norm = eng.process_frame(*seq.frames[2])
+        # rebuild and compare: processing frame 2 twice with repeat gives the
+        # same result both times (same prev each time)
+        eng2 = Engine(synthetic_config(), seq.cam)
+        eng2.process_frame(*seq.frames[0])
+        eng2.process_frame(*seq.frames[1])
+        ra = eng2.process_frame(*seq.frames[2])
+        rb = eng2.process_frame(*seq.frames[2], repeat=True)
+        np.testing.assert_allclose(np.asarray(ra.pose), np.asarray(rb.pose),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ra.pose), np.asarray(r_norm.pose),
+                                   atol=1e-6)
+
+    def test_threshold_accessors(self, seq):
+        from rso.synthetic import synthetic_config
+
+        eng = Engine(synthetic_config(), seq.cam)
+        eng.set_fast_threshold(999)
+        assert eng.get_fast_threshold() == eng.cfg.detect.fast_max_th
+        assert eng.is_fast_th_max()
+        eng.set_fast_threshold(-5)
+        assert eng.is_fast_th_min()
+        eng.reset_fast_threshold()
+        assert eng.get_fast_threshold() == eng.cfg.detect.initial_FAST_threshold
+        eng.set_orb_threshold(0)
+        assert eng.is_orb_th_min()
+
+    def test_set_ids(self, seq):
+        from rso.synthetic import synthetic_config
+
+        eng = Engine(synthetic_config(), seq.cam)
+        eng.process_frame(*seq.frames[0])
+        eng.set_ids(np.arange(10) + 100)
+        ids = np.asarray(eng.state.prev.octaves[0].match_ids)
+        assert ids[:10].tolist() == list(range(100, 110))
+        assert int(eng.state.last_match_id) >= 110
+
+    def test_adaptive_nms_mode(self, seq):
+        import dataclasses
+
+        from rso.config import NMSMethod
+        from rso.synthetic import synthetic_config
+
+        cfg = synthetic_config()
+        cfg = cfg.replace(detect=dataclasses.replace(
+            cfg.detect, nmsMethod=NMSMethod.ADAPTIVE))
+        eng = Engine(cfg, seq.cam)
+        eng.process_frame(*seq.frames[0])
+        r = eng.process_frame(*seq.frames[1])
+        assert int(np.asarray(r.detected_feats).sum()) > 100
+        assert bool(r.valid)
