@@ -27,6 +27,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(out["fps"] / REFERENCE_FPS_ESTIMATE, 3),
         "ate_rmse_m": round(out["ate_rmse_m"], 4),
+        "ba_iters_per_sec": round(out["ba_iters_per_sec"], 1),
         "backend": out["backend"],
         "device": out["device"],
     }

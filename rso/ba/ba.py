@@ -87,8 +87,69 @@ def _project_one(cam: StereoCamera, pose6, lmk):
     return pix, J_pose, J_lmk
 
 
-_project_grid = jax.vmap(jax.vmap(_project_one, in_axes=(None, None, 0)),
-                         in_axes=(None, 0, None))
+def _project_grid(cam: StereoCamera, poses, lmks):
+    """Batched [P,L] stereo projection + Jacobians.
+
+    Vectorized so Rodrigues + dR/dw run ONCE per pose (the naive double-vmap
+    of _project_one recomputes them per landmark).  Verified equal to the
+    per-element form in tests/test_ba.py.
+    """
+    R, dR = jax.vmap(rodrigues_with_grad)(poses[:, :3])       # [P,3,3],[P,3,3,3]
+    Pt = jnp.einsum("pij,lj->pli", R, lmks) + poses[:, None, 3:]  # [P,L,3]
+    X, Y, Z = Pt[..., 0], Pt[..., 1], Pt[..., 2]
+    Zs = jnp.where(jnp.abs(Z) < 1e-9, 1e-9, Z)
+    X2 = X - cam.baseline
+
+    pix = jnp.stack([
+        cam.fx_l * X / Zs + cam.cx_l,
+        cam.fy_l * Y / Zs + cam.cy_l,
+        cam.fx_r * X2 / Zs + cam.cx_r,
+        cam.fy_r * Y / Zs + cam.cy_r,
+    ], axis=-1)                                               # [P,L,4]
+
+    # dP/dtheta: [P,L,6,3]; rotation rows dR_k @ X, translation identity
+    dP_rot = jnp.einsum("pkij,lj->plki", dR, lmks)            # [P,L,3,3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=Pt.dtype),
+                           dP_rot.shape)
+    dP = jnp.concatenate([dP_rot, eye], axis=2)               # [P,L,6,3]
+
+    def pix_rows(dPd):
+        Xd, Yd, Zd = dPd[..., 0], dPd[..., 1], dPd[..., 2]
+        Z2 = (Zs * Zs)[..., None]
+        Zse = Zs[..., None]
+        return jnp.stack([
+            cam.fx_l * (Xd * Zse - X[..., None] * Zd) / Z2,
+            cam.fy_l * (Yd * Zse - Y[..., None] * Zd) / Z2,
+            cam.fx_r * (Xd * Zse - X2[..., None] * Zd) / Z2,
+            cam.fy_r * (Yd * Zse - Y[..., None] * Zd) / Z2,
+        ], axis=-1)                                           # [P,L,params,4]
+
+    J_pose = jnp.swapaxes(pix_rows(dP), -1, -2)               # [P,L,4,6]
+    # landmark jacobian: dP/dX_j = column j of R -> rows of R^T
+    RT = jnp.swapaxes(R, -1, -2)[:, None, :, :]               # [P,1,3,3]
+    RT = jnp.broadcast_to(RT, (R.shape[0], lmks.shape[0], 3, 3))
+    J_lmk = jnp.swapaxes(pix_rows(RT), -1, -2)                # [P,L,4,3]
+    return pix, J_pose, J_lmk
+
+
+def inv3x3(M):
+    """Closed-form batched 3x3 inverse (adjugate/det).  jnp.linalg.inv lowers
+    to per-matrix LU on TPU, which is ~50x slower for [L,3,3] stacks."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / safe)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), (b * f - c * e)], -1),
+        jnp.stack([B, (a * i - c * g), -(a * f - c * d)], -1),
+        jnp.stack([C, -(a * h - b * g), (a * e - b * d)], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
 
 
 def _robust_weights(r2, kernel_param, use_robust):
@@ -145,11 +206,16 @@ def _schur_solve(g_p, g_l, H_pp, H_ll, H_pl, lm_lambda, fix_first: bool,
     eye3 = jnp.eye(3, dtype=g_l.dtype)
     eye6 = jnp.eye(6, dtype=g_p.dtype)
 
-    H_ll_d = H_ll + lm_lambda * eye3[None]
+    # Marquardt damping (lam * diag(H)) keeps the damping scale-relative and
+    # bounds the condition number of H_ll_d — required for the f32 adjugate
+    # inverse (absolute lam*I damping leaves cond ~1e8 blocks that the
+    # closed-form inverse cannot handle in f32)
+    diag_ll = jnp.eye(3, dtype=g_l.dtype) * H_ll.diagonal(0, -2, -1)[..., None, :]
+    H_ll_d = H_ll + lm_lambda * diag_ll + 1e-6 * eye3[None]
     # guard empty landmarks
     lv = lmk_valid.astype(g_l.dtype)
     H_ll_d = H_ll_d * lv[:, None, None] + (1 - lv)[:, None, None] * eye3[None]
-    H_ll_inv = jnp.linalg.inv(H_ll_d) * lv[:, None, None]
+    H_ll_inv = inv3x3(H_ll_d) * lv[:, None, None]
 
     # W_l = H_pl H_ll^-1  [P,L,6,3]
     W = jnp.einsum("pljk,lkm->pljm", H_pl, H_ll_inv)

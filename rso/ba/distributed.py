@@ -28,6 +28,7 @@ from rso.ba.ba import (
     _project_grid,
     _robust_weights,
     ba_normal_equations,
+    inv3x3,
 )
 from rso.geometry.stereo_camera import StereoCamera
 
@@ -103,9 +104,11 @@ def distributed_bundle_adjust(
             eye3 = jnp.eye(3, dtype=lmks.dtype)
             eye6 = jnp.eye(6, dtype=poses.dtype)
             lv = lmk_valid.astype(lmks.dtype)
-            H_ll_d = (H_ll + lam * eye3[None]) * lv[:, None, None] \
-                + (1 - lv)[:, None, None] * eye3[None]
-            H_ll_inv = jnp.linalg.inv(H_ll_d) * lv[:, None, None]
+            diag_ll = eye3 * H_ll.diagonal(0, -2, -1)[..., None, :]
+            H_ll_d = ((H_ll + lam * diag_ll + 1e-6 * eye3[None])
+                      * lv[:, None, None]
+                      + (1 - lv)[:, None, None] * eye3[None])
+            H_ll_inv = inv3x3(H_ll_d) * lv[:, None, None]
 
             W = jnp.einsum("pljk,lkm->pljm", H_pl, H_ll_inv)
             # Schur cross blocks: local landmark contraction, then PSUM

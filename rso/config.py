@@ -187,6 +187,10 @@ class TPUParams:
     # XLA path is currently ~20% faster for the [512,512]x64 shapes (488us vs
     # 589us SAD), so the fused path is the default.
     use_pallas: bool = False
+    # Fused Pallas detection kernel (corner test + Shi-Tomasi in one VMEM
+    # pass, rso.kernels.fast_detect).  Equivalent to the XLA path inside the
+    # engine's border margin; see tests/test_kernels.py.
+    use_pallas_detect: bool = False
     # LK subpixel alignment of tracked observations against the previous
     # frame's stored patches before the pose solve (rso.frontend.refine) —
     # gated on per-feature SSD improvement; accuracy-neutral on the synthetic

@@ -268,9 +268,13 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         for o in range(O):
             th = state.fast_th[o]
             fl = detect_features(pyr_l[o], cfg.detect, K, th, need_desc,
-                                 arc=cfg.tpu.fast_arc)
+                                 arc=cfg.tpu.fast_arc,
+                                 use_pallas_detect=cfg.tpu.use_pallas_detect,
+                                 interpret_pallas=cfg.tpu.interpret_pallas)
             fr = detect_features(pyr_r[o], cfg.detect, K, th, need_desc,
-                                 arc=cfg.tpu.fast_arc)
+                                 arc=cfg.tpu.fast_arc,
+                                 use_pallas_detect=cfg.tpu.use_pallas_detect,
+                                 interpret_pallas=cfg.tpu.interpret_pallas)
             # octave budget: keep only the strongest budget[o] slots
             slot_ok = jnp.arange(K) < budgets[o]
             fl = fl._replace(valid=fl.valid & slot_ok)

@@ -363,6 +363,8 @@ def detect_features(
     fast_threshold: jnp.ndarray,
     need_desc: bool,
     arc: int = 12,
+    use_pallas_detect: bool = False,
+    interpret_pallas: bool = False,
 ) -> Features:
     """Detect up to k_slots features on one octave image.
 
@@ -382,9 +384,18 @@ def detect_features(
         keep = nms_grid(resp, params.min_distance) & corner
         min_resp = params.minimum_ORB_response
     else:  # FASTER / FAST_ORB: FAST corners ranked by KLT response
-        corner = fast_corner_mask(img, fast_threshold, arc=arc)
-        resp = jnp.where(corner, shi_tomasi_response(img, params.KLT_win), -jnp.inf)
-        keep = nms_grid(resp, params.min_distance) & corner
+        if use_pallas_detect:
+            from rso.kernels.fast_detect import corner_response_pallas
+
+            resp = corner_response_pallas(img, fast_threshold, arc=arc,
+                                          win=params.KLT_win,
+                                          interpret=interpret_pallas)
+        else:
+            corner = fast_corner_mask(img, fast_threshold, arc=arc)
+            resp = jnp.where(corner,
+                             shi_tomasi_response(img, params.KLT_win),
+                             -jnp.inf)
+        keep = nms_grid(resp, params.min_distance) & (resp > -jnp.inf)
         min_resp = (params.minimum_KLT_response
                     if method == DetectMethod.FASTER else 0.0)
 

@@ -190,3 +190,22 @@ class TestPipeline:
         assert 3 <= n_kf < len(seq.frames)  # keyframes are spaced
         assert np.isfinite(ate_ba)
         assert ate_ba < ate_vo * 1.5  # BA never catastrophically degrades
+
+
+class TestProjectGrid:
+    def test_vectorized_matches_per_element(self, rng):
+        """The batched projection must equal the per-element vmap form."""
+        import jax
+
+        from rso.ba.ba import _project_grid, _project_one
+
+        poses = jnp.asarray(rng.normal(0, 0.3, (4, 6)), jnp.float32)
+        lmks = jnp.asarray(np.stack([
+            rng.uniform(-5, 5, 16), rng.uniform(-3, 3, 16),
+            rng.uniform(4, 30, 16)], -1), jnp.float32)
+        ref = jax.vmap(jax.vmap(_project_one, in_axes=(None, None, 0)),
+                       in_axes=(None, 0, None))(CAM, poses, lmks)
+        out = _project_grid(CAM, poses, lmks)
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3)

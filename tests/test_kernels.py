@@ -88,3 +88,43 @@ class TestWindowedSearch:
         valid = jnp.asarray([True, False])
         res = windowed_sad_search(img, templates, centers, 4, 4, valid)
         assert np.asarray(res.best_sad)[1] > 1e30
+
+
+class TestFusedDetectKernel:
+    def test_matches_xla_reference(self, rng):
+        """Fused Pallas corner+response kernel vs the XLA composition, within
+        the engine's usable border margin."""
+        from rso.kernels.fast_detect import (
+            corner_response_jnp,
+            corner_response_pallas,
+        )
+        from rso.synthetic import make_sequence
+
+        seq = make_sequence(n_frames=1, n_points=800, H=120, W=160)
+        img = jnp.asarray(seq.frames[0][0], jnp.float32)
+        for th in (10.0, 25.0):
+            ref = np.asarray(corner_response_jnp(img, th))
+            out = np.asarray(corner_response_pallas(img, th, interpret=True))
+            inner = np.s_[5:-5, 5:-5]
+            np.testing.assert_array_equal(np.isneginf(ref[inner]),
+                                          np.isneginf(out[inner]))
+            both = ~np.isneginf(ref[inner])
+            d = np.abs(ref[inner][both] - out[inner][both])
+            assert d.max() < 1e-3
+
+    def test_engine_with_pallas_detect(self, rng):
+        """Full engine runs with the fused kernel (interpret mode on CPU) and
+        produces a valid pose."""
+        import dataclasses
+
+        from rso.engine import Engine
+        from rso.synthetic import make_sequence, synthetic_config
+
+        seq = make_sequence(n_frames=3, n_points=1200, H=128, W=256)
+        cfg = synthetic_config()
+        cfg = cfg.replace(tpu=dataclasses.replace(
+            cfg.tpu, use_pallas_detect=True, interpret_pallas=True))
+        eng = Engine(cfg, seq.cam)
+        for l, r in seq.frames:
+            res = eng.process_frame(l, r)
+        assert bool(res.valid)
