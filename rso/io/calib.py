@@ -151,9 +151,12 @@ def compute_rectify_maps(calib: FullCalibration):
     e3 = np.cross(e1, e2)
     R_align = np.stack([e1, e2, e3])
 
-    R_rect_l = R_align @ R_half_l.T
-    R_rect_r = R_align @ R_half_r
     # (R_rect_x maps old-cam coords -> rectified coords)
+    # With X_l = R_lr X_r + t_lr and R_h = exp(r/2) (R_lr = R_h R_h):
+    #   R_rect_l = R_align R_h^T,  R_rect_r = R_rect_l R_lr = R_align R_h
+    # so both new frames differ only by translation along the new x axis.
+    R_rect_l = R_align @ R_half_r        # R_half_r == R_h^T
+    R_rect_r = R_align @ R_half_l        # R_half_l == R_h
 
     # shared rectified intrinsics
     f = (calib.K_l[0, 0] + calib.K_l[1, 1] + calib.K_r[0, 0] + calib.K_r[1, 1]) / 4
