@@ -80,6 +80,11 @@ class DetectParams:
     # the stage-2 call flag (reference h:1020, default false): enables the
     # per-octave FAST threshold servo toward target_feats_per_pixel
     update_dyn_thresholds: bool = False
+    # TPU extension: upright (unrotated) BRIEF.  The intensity-centroid
+    # orientation is only stable on asymmetric patches; for low-roll rigs
+    # (automotive / rectified stereo) upright descriptors match more
+    # reliably.  Default False = ORB-faithful oriented BRIEF.
+    orb_upright: bool = False
 
 
 @dataclass(frozen=True)

@@ -313,7 +313,8 @@ def _bilinear_patch_sample(patch: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     return (Ia * (1 - fx) + Ib * fx) * (1 - fy) + (Ic * (1 - fx) + Id * fx) * fy
 
 
-def orb_descriptors(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+def orb_descriptors(img: jnp.ndarray, xy: jnp.ndarray,
+                    upright: bool = False) -> jnp.ndarray:
     """Oriented-BRIEF 256-bit descriptors, packed uint32 [K,8].
 
     Per keypoint: extract a 37x37 patch, compute the intensity-centroid
@@ -329,9 +330,12 @@ def orb_descriptors(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
         x0 = jnp.clip(jnp.round(kp[0]).astype(jnp.int32) - _PATCH_R, 0, W - _PATCH)
         y0 = jnp.clip(jnp.round(kp[1]).astype(jnp.int32) - _PATCH_R, 0, H - _PATCH)
         patch = lax.dynamic_slice(img, (y0, x0), (_PATCH, _PATCH))
-        center = patch[3:34, 3:34]  # 31x31
-        theta = orb_orientation(center)
-        c, s = jnp.cos(theta), jnp.sin(theta)
+        if upright:
+            c, s = jnp.float32(1.0), jnp.float32(0.0)
+        else:
+            center = patch[3:34, 3:34]  # 31x31
+            theta = orb_orientation(center)
+            c, s = jnp.cos(theta), jnp.sin(theta)
         # rotate all pattern points
         px = pattern[..., 0] * c - pattern[..., 1] * s  # [256,2]
         py = pattern[..., 0] * s + pattern[..., 1] * c
@@ -426,7 +430,7 @@ def detect_features(
 
     patch = extract_patches(img, xy)
     if need_desc:
-        desc = orb_descriptors(img, xy)
+        desc = orb_descriptors(img, xy, upright=params.orb_upright)
         desc = jnp.where(valid[:, None], desc, 0)
     else:
         desc = jnp.zeros((k_slots, 8), dtype=jnp.uint32)
