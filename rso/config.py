@@ -150,6 +150,12 @@ class LeastSquaresParams:
     # same; this only changes the path.  Set False for exact reference
     # iteration behavior.
     irls_hessian_weighting: bool = True
+    # TPU extension: Levenberg-Marquardt damping in the pose solver (the
+    # BASELINE "robust LM pose refinement" configuration).  lambda adapts
+    # per accepted/rejected step; False = pure Gauss-Newton like the
+    # reference.
+    use_lm: bool = False
+    lm_init_lambda: float = 1e-3
 
 
 @dataclass(frozen=True)

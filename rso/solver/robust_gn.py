@@ -56,7 +56,7 @@ class PoseSolveResult(NamedTuple):
 
 
 def _eval_rgn(cam: StereoCamera, lmks, obs, mask, delta_pose, params: LeastSquaresParams,
-              obs_weight=None):
+              obs_weight=None, lm_lambda=None):
     """One GN evaluation: the reference's m_evalRGN (stage5_optimization.cpp:275-390).
 
     lmks: [N,3] triangulated previous-frame landmarks
@@ -95,6 +95,9 @@ def _eval_rgn(cam: StereoCamera, lmks, obs, mask, delta_pose, params: LeastSquar
     g = jnp.einsum("n,nij,ni->j", mf * rho_p, J, r)
     h_w = mf * rho_p if params.irls_hessian_weighting else mf
     H = jnp.einsum("n,nij,nik->jk", h_w, J, J)
+    if lm_lambda is not None:
+        # Marquardt damping: lambda * diag(H) keeps the step scale-relative
+        H = H + lm_lambda * jnp.diag(jnp.diagonal(H))
 
     # Symmetric-eigendecomposition least-squares solve.  H is symmetric PSD,
     # so eigh gives the same singular spectrum as the reference's JacobiSVD
@@ -102,7 +105,12 @@ def _eval_rgn(cam: StereoCamera, lmks, obs, mask, delta_pose, params: LeastSquar
     # is identical.
     w, V = jnp.linalg.eigh(H)  # ascending
     cond = w[5] / jnp.where(w[0] <= 0.0, jnp.nan, w[0])
-    bad_cond = ~jnp.isfinite(cond) | (cond > _COND_MAX)
+    if lm_lambda is not None:
+        # LM handles ill-conditioning via damping; abort only on NaN (which
+        # is also the reference's actual abort condition, :380-386)
+        bad_cond = ~jnp.isfinite(cond)
+    else:
+        bad_cond = ~jnp.isfinite(cond) | (cond > _COND_MAX)
     w_inv = jnp.where(w > w[5] * 1e-9, 1.0 / jnp.where(w > 0, w, 1.0), 0.0)
     dx = V @ (w_inv * (V.T @ g))
 
@@ -119,6 +127,36 @@ def _gn_phase(cam, lmks, obs, mask, delta_pose0, max_iters, timesInc0,
     def cond_fn(carry):
         it, _dp, _pc, _ti, done, abort, _res, _ec, _cost = carry
         return (it < max_iters) & ~done & ~abort
+
+    use_lm = params.use_lm
+
+    def cond_fn_lm(carry):
+        it, _dp, _pc, _ti, done, abort, _res, _ec, _cost, _lam = carry
+        return (it < max_iters) & ~done & ~abort
+
+    def body_fn_lm(carry):
+        it, dp, pCost, timesInc, done, abort, _res, ec, _cost, lam = carry
+        dx, cCost, res, bad_cond = _eval_rgn(cam, lmks, obs, mask, dp, params,
+                                             obs_weight, lm_lambda=lam)
+        abort_cond = bad_cond
+        ec = jnp.where(abort_cond, VOEC_BAD_COND_NUMBER, ec)
+
+        # LM acceptance: the cost at the CURRENT dp was computed this round;
+        # accept the step tentatively, adapt lambda by whether cost fell
+        improved = (it == 0) | (cCost <= pCost)
+        lam_new = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 4.0, 1e3))
+        dp_new = jnp.where(abort_cond, dp, dp + dx)
+
+        step_norm = jnp.sqrt(jnp.sum(dx * dx))
+        done_new = (it > 0) & (step_norm < params.min_mod_out_vector)
+        cost_increased = (it > 0) & (pCost < cCost)
+        timesInc_new = timesInc + jnp.where(cost_increased, 1, 0)
+        too_many_incr = timesInc_new > params.max_incr_cost
+        ec = jnp.where(too_many_incr & ~abort_cond, incr_cost_code, ec)
+        abort_new = abort_cond | too_many_incr
+        return (it + 1, dp_new, cCost, timesInc_new, done_new, abort_new, res,
+                ec, cCost, lam_new)
 
     def body_fn(carry):
         it, dp, pCost, timesInc, done, abort, _res, ec, _cost = carry
@@ -143,6 +181,17 @@ def _gn_phase(cam, lmks, obs, mask, delta_pose0, max_iters, timesInc0,
                 ec, cCost)
 
     N = obs.shape[0]
+    if use_lm:
+        init = (
+            jnp.int32(0), delta_pose0, jnp.float32(0.0), jnp.int32(timesInc0),
+            jnp.bool_(False), jnp.bool_(False),
+            jnp.full((N,), jnp.finfo(jnp.float32).max, dtype=jnp.float32),
+            jnp.int32(VOEC_NONE), jnp.float32(0.0),
+            jnp.float32(params.lm_init_lambda),
+        )
+        it, dp, _pc, timesInc, _done, abort, res, ec, cost, _lam =             lax.while_loop(cond_fn_lm, body_fn_lm, init)
+        return it, dp, timesInc, abort, res, ec, cost
+
     init = (
         jnp.int32(0), delta_pose0, jnp.float32(0.0), jnp.int32(timesInc0),
         jnp.bool_(False), jnp.bool_(False),

@@ -166,3 +166,35 @@ class TestRansac:
         f = jax.jit(lambda a, b, m, k: ransac_fundamental(a, b, m, k, n_iters=32))
         res = f(prev[:, :2], cur[:, :2], mask, jax.random.PRNGKey(2))
         assert res.inliers.shape == (64,)
+
+
+class TestLMMode:
+    def test_lm_matches_gn_on_good_geometry(self, rng):
+        prev, cur, mask, pose = make_problem(rng, noise=0.2)
+        gn = solve_pose(CAM, prev, cur, mask, LeastSquaresParams())
+        lm = solve_pose(CAM, prev, cur, mask,
+                        LeastSquaresParams(use_lm=True))
+        assert bool(gn.valid) and bool(lm.valid)
+        np.testing.assert_allclose(np.asarray(lm.pose), np.asarray(gn.pose),
+                                   atol=5e-3)
+
+    def test_lm_survives_ill_conditioned_geometry(self, rng):
+        """A tight distant point cluster: GN aborts on the condition guard,
+        LM (damped) must still return a usable estimate."""
+        from rso.geometry import pose_inverse, project_stereo
+
+        pts = jnp.asarray(np.stack([
+            rng.uniform(-0.5, 0.5, 12), rng.uniform(-0.3, 0.3, 12),
+            rng.uniform(55, 60, 12)], -1), jnp.float32)
+        pose = jnp.asarray([0.01, -0.02, 0.005, 0.02, -0.01, 0.15],
+                           jnp.float32)
+        prev = project_stereo(CAM, pts, jnp.zeros(6))
+        cur = project_stereo(CAM, pts, pose_inverse(pose)) + jnp.asarray(
+            rng.normal(0, 0.3, (12, 4)), jnp.float32)
+        mask = jnp.ones(12, bool)
+        gn = solve_pose(CAM, prev, cur, mask, LeastSquaresParams())
+        lm = solve_pose(CAM, prev, cur, mask,
+                        LeastSquaresParams(use_lm=True))
+        assert not bool(gn.valid)   # condition guard fires
+        assert bool(lm.valid)       # damping keeps the solve alive
+        assert float(jnp.max(jnp.abs(lm.pose[:3] - pose[:3]))) < 0.05
