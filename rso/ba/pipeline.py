@@ -58,7 +58,8 @@ class VOWithBA:
     def __init__(self, cfg: RSOConfig, cam: StereoCamera,
                  max_keyframes: int = 8, max_landmarks: int = 1024,
                  ba_iters: int = 15, mesh=None,
-                 min_tracked_ratio: float = 0.25, min_tracked_abs: int = 25):
+                 min_tracked_ratio: float = 0.25, min_tracked_abs: int = 25,
+                 min_kf_gap: int = 3, max_correction: float = 0.15):
         self.engine = Engine(cfg, cam)
         self.cfg = cfg
         self.cam = cam
@@ -67,10 +68,17 @@ class VOWithBA:
         self.mesh = mesh
         self.min_tracked_ratio = min_tracked_ratio
         self.min_tracked_abs = min_tracked_abs
-        self.T = np.eye(4)
-        self._last_kf_T = np.eye(4)
+        self.min_kf_gap = min_kf_gap
+        self.max_correction = max_correction
+        self._frames_since_kf = 10**9
+        self.T = np.eye(4)               # pure VO integration (never fed back)
+        self._correction = np.eye(4)     # BA refinement applied to the output
 
     def process_frame(self, left, right) -> BAFrameResult:
+        """VO integrates independently; BA acts as a smoother whose latest
+        keyframe correction left-composes onto the VO chain for the OUTPUT
+        pose.  (Feeding refinements back into the integration compounds
+        window-solve noise over long runs.)"""
         res = self.engine.process_frame(left, right)
         valid = bool(res.valid)
         if valid:
@@ -78,37 +86,57 @@ class VOWithBA:
 
         total_matches = int(np.asarray(res.stereo_matches).sum())
         first = len(self.window) == 0 and total_matches > 0
-        make_kf = first or (valid and should_make_keyframe(
-            int(res.tracked_feats_from_last_KF), total_matches,
-            self.min_tracked_ratio, self.min_tracked_abs))
+        self._frames_since_kf += 1
+        make_kf = first or (
+            valid
+            and self._frames_since_kf >= self.min_kf_gap
+            and should_make_keyframe(
+                int(res.tracked_feats_from_last_KF), total_matches,
+                self.min_tracked_ratio, self.min_tracked_abs))
+        if make_kf:
+            self._frames_since_kf = 0
 
         ba_cost = None
         if make_kf and self.engine.state is not None:
-            kf = keyframe_obs_from_state(self.engine.state, self.cfg, self.T)
+            T_vo_kf = self.T.copy()
+            kf = keyframe_obs_from_state(self.engine.state, self.cfg,
+                                         self._correction @ T_vo_kf)
             self.window.add_keyframe(kf)
             self.engine.set_this_frame_as_kf()
 
             if len(self.window) >= 3:
                 prob, _ids = self.window.build_problem(self.cam)
                 n_shared = int(np.asarray(prob.mask).any(0).sum())
-                if n_shared < 24:
-                    # too few shared landmarks: a window solve would be
-                    # noise-driven and can degrade the trajectory
-                    return BAFrameResult(pose_wc=self.T.copy(),
-                                         vo_valid=valid, is_keyframe=True,
-                                         ba_cost=None)
-                if self.mesh is not None:
-                    from rso.ba.distributed import distributed_bundle_adjust
+                if n_shared >= 24:
+                    if self.mesh is not None:
+                        from rso.ba.distributed import (
+                            distributed_bundle_adjust,
+                        )
 
-                    out = distributed_bundle_adjust(
-                        self.cam, prob, self.mesh, max_iters=self.ba_iters)
-                else:
-                    out = bundle_adjust(self.cam, prob,
-                                        max_iters=self.ba_iters)
-                ba_cost = float(out.cost)
-                refined = self.window.apply_result(np.asarray(out.poses))
-                # propagate the refinement of the newest keyframe to the
-                # running pose (the tail of the trajectory rides on it)
-                self.T = refined[-1]
-        return BAFrameResult(pose_wc=self.T.copy(), vo_valid=valid,
+                        out = distributed_bundle_adjust(
+                            self.cam, prob, self.mesh,
+                            max_iters=self.ba_iters)
+                    else:
+                        out = bundle_adjust(self.cam, prob,
+                                            max_iters=self.ba_iters)
+                    ba_cost = float(out.cost)
+                    refined_poses = np.asarray(out.poses)
+                    # gate: a window refinement that moves the newest KF far
+                    # from its odometry estimate is a failed solve (aliased
+                    # landmarks / weak geometry), not a correction — reject
+                    # it and keep the window at the odometry poses
+                    kf_before = self.window.keyframes[-1].pose_wc
+                    from scipy.spatial.transform import Rotation
+
+                    R_cw = Rotation.from_rotvec(
+                        refined_poses[-1, :3]).as_matrix()
+                    t_new = -R_cw.T @ refined_poses[-1, 3:]
+                    delta = float(np.linalg.norm(t_new - kf_before[:3, 3]))
+                    if delta <= self.max_correction:
+                        refined = self.window.apply_result(refined_poses)
+                        # smoother: refined newest KF vs its VO estimate
+                        self._correction = refined[-1] @ np.linalg.inv(
+                            self._correction @ T_vo_kf) @ self._correction
+        return BAFrameResult(pose_wc=self._correction @ self.T,
+                             vo_valid=valid,
                              is_keyframe=bool(make_kf), ba_cost=ba_cost)

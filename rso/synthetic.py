@@ -193,11 +193,25 @@ def make_sequence(
         cam = StereoCamera.make(fx_l=320.0, fy_l=320.0, cx_l=W / 2.0,
                                 cy_l=H / 2.0, baseline=0.4)
 
-    pts = np.stack([
+    # points populate a corridor along the (yet-to-be-integrated) trajectory
+    # so arbitrarily long sequences never run out of scene: each point
+    # anchors to a random pose along the path plus a local offset
+    poses_tmp = []
+    T = np.eye(4)
+    for i in range(n_frames):
+        poses_tmp.append(T.copy())
+        dR = _rotmat(np.array([0.0, yaw_rate, 0.0]))
+        step = np.eye(4)
+        step[:3, :3] = dR
+        step[:3, 3] = np.array([0.0, 0.0, speed])
+        T = T @ step
+    anchors = np.stack(poses_tmp)[rng.integers(0, n_frames, n_points)]
+    local = np.stack([
         rng.uniform(-18, 18, n_points),
         rng.uniform(-6, 6, n_points),
         rng.uniform(2.0, 45.0, n_points),
     ], axis=-1)
+    pts = np.einsum("nij,nj->ni", anchors[:, :3, :3], local) + anchors[:, :3, 3]
     # signed amplitudes (bright & dark blobs on mid-gray) and random
     # anisotropy make each blob's 8x8 patch distinctive enough for SAD
     amp = rng.uniform(60, 127, n_points) * rng.choice([-1.0, 1.0], n_points)
