@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from rso.geometry.rotations import rodrigues_with_grad
+from rso.geometry.rotations import rodrigues, rodrigues_with_grad
 from rso.geometry.stereo_camera import StereoCamera
 
 
@@ -152,6 +152,56 @@ def inv3x3(M):
     return adj * inv_det[..., None, None]
 
 
+def _vee(M):
+    """Inverse hat: the 3-vector of a (near-)skew-symmetric matrix."""
+    return jnp.stack([M[..., 2, 1] - M[..., 1, 2],
+                      M[..., 0, 2] - M[..., 2, 0],
+                      M[..., 1, 0] - M[..., 0, 1]], axis=-1) * 0.5
+
+
+def _relpose_residuals(poses, rel_meas):
+    """Consecutive-keyframe relative-pose residuals [P-1,6].
+
+    poses [P,6] world->cam; rel_meas [P-1,6] the VO-measured cam_p -> cam_{p+1}
+    transform.  Rotation error uses the smooth first-order vee(E - E^T)/2 form
+    (equals the log map to first order; avoids the non-differentiable
+    arccos-at-identity of the exact log), translation error is the plain
+    difference of the relative translations.
+    """
+    Ra = jax.vmap(rodrigues)(poses[:-1, :3])          # [P-1,3,3] W_p
+    Rb = jax.vmap(rodrigues)(poses[1:, :3])           # W_{p+1}
+    ta, tb = poses[:-1, 3:], poses[1:, 3:]
+    # T_rel_est = W_{p+1} @ W_p^-1: R = Rb Ra^T, t = tb - Rb Ra^T ta
+    R_rel = jnp.einsum("pij,pkj->pik", Rb, Ra)
+    t_rel = tb - jnp.einsum("pij,pj->pi", R_rel, ta)
+    Rm = jax.vmap(rodrigues)(rel_meas[:, :3])
+    E = jnp.einsum("pij,pkj->pik", R_rel, Rm)         # R_rel_est @ R_meas^T
+    r_rot = _vee(E - jnp.swapaxes(E, -1, -2))
+    r_t = t_rel - rel_meas[:, 3:]
+    return jnp.concatenate([r_rot, r_t], axis=-1)     # [P-1,6]
+
+
+def relpose_prior_terms(poses, rel_meas, w_rot, w_trans):
+    """Gauss-Newton terms of the odometry prior: (H [P,6,P,6], g [P,6], cost).
+
+    The prior anchors consecutive keyframes to their VO-measured relative
+    motion, constraining the directions the landmark observations leave weak
+    (short-lifetime landmarks / low-parallax windows).  H adds to the reduced
+    camera system S directly (pose-only — no landmark coupling), g follows
+    the same sign convention as the reprojection gradient (x += H^-1 g).
+    """
+    W = jnp.concatenate([jnp.full((3,), w_rot, poses.dtype),
+                         jnp.full((3,), w_trans, poses.dtype)])
+
+    e = _relpose_residuals(poses, rel_meas)           # [P-1,6]
+    J = jax.jacfwd(lambda p: _relpose_residuals(p, rel_meas))(poses)
+    # J: [P-1,6,P,6];  H[pj,ql] = sum_{a,i} J[a,i,p,j] W[i] J[a,i,q,l]
+    H = jnp.einsum("aipj,aiql->pjql", J * W[None, :, None, None], J)
+    g = -jnp.einsum("aipj,ai->pj", J, e * W[None, :])
+    cost = 0.5 * jnp.sum(e * e * W[None, :])
+    return H, g, cost
+
+
 def _robust_weights(r2, kernel_param, use_robust):
     if use_robust:
         b2 = kernel_param * kernel_param
@@ -194,7 +244,7 @@ def ba_normal_equations(cam: StereoCamera, prob: BAProblem,
 
 
 def _schur_solve(g_p, g_l, H_pp, H_ll, H_pl, lm_lambda, fix_first: bool,
-                 lmk_valid):
+                 lmk_valid, prior=None):
     """Schur-complement reduced camera solve + landmark back-substitution.
 
     Returns (dpose [P,6], dlmk [L,3]).  With a sharded landmark axis the two
@@ -227,6 +277,12 @@ def _schur_solve(g_p, g_l, H_pp, H_ll, H_pl, lm_lambda, fix_first: bool,
     # reduced gradient: g_p - sum_l W g_l                          (PSUM over l)
     b = g_p - jnp.einsum("pljm,lm->pj", W, g_l)
 
+    # odometry prior (pose-only, replicated): add before the gauge fix
+    if prior is not None:
+        H_prior, g_prior = prior
+        S = S + H_prior.transpose(0, 2, 1, 3)         # [P,6,P,6]->[P,P,6,6]
+        b = b + g_prior
+
     # gauge fix: freeze pose 0 (identity block, zero gradient)
     if fix_first:
         S = S.at[0, :, :, :].set(0.0)
@@ -245,7 +301,8 @@ def _schur_solve(g_p, g_l, H_pp, H_ll, H_pl, lm_lambda, fix_first: bool,
     return dpose, dlmk
 
 
-@partial(jax.jit, static_argnames=("max_iters", "use_robust", "fix_first"))
+@partial(jax.jit, static_argnames=("max_iters", "use_robust", "fix_first",
+                                   "rel_w_rot", "rel_w_trans"))
 def bundle_adjust(
     cam: StereoCamera,
     prob: BAProblem,
@@ -255,16 +312,33 @@ def bundle_adjust(
     fix_first: bool = True,
     init_lambda: float = 1e-4,
     tol: float = 1e-5,
+    rel_meas=None,
+    rel_w_rot: float = 0.0,
+    rel_w_trans: float = 0.0,
 ) -> BAResult:
-    """Levenberg-Marquardt BA over the window as one lax.while_loop program."""
+    """Levenberg-Marquardt BA over the window as one lax.while_loop program.
+
+    rel_meas [P-1,6] + rel_w_rot/rel_w_trans enable the odometry prior: each
+    consecutive keyframe pair is softly anchored to its VO-measured relative
+    transform (see relpose_prior_terms).  Weights are inverse variances in
+    (rad, m) against 1-px reprojection noise.
+    """
     lmk_valid = jnp.any(prob.mask, axis=0)
+    use_prior = rel_meas is not None and (rel_w_rot > 0 or rel_w_trans > 0)
 
     def eval_cost(poses, lmks):
         pix, _, _ = _project_grid(cam, poses, lmks)
         r2 = jnp.sum((prob.obs - pix) ** 2, axis=-1)
         _, fi = _robust_weights(r2, kernel_param, use_robust)
         m = prob.mask & jnp.all(jnp.isfinite(pix), -1)
-        return jnp.sum(jnp.where(m, fi, 0.0))
+        cost = jnp.sum(jnp.where(m, fi, 0.0))
+        if use_prior:
+            W = jnp.concatenate([
+                jnp.full((3,), rel_w_rot, poses.dtype),
+                jnp.full((3,), rel_w_trans, poses.dtype)])
+            e = _relpose_residuals(poses, rel_meas)
+            cost = cost + 0.5 * jnp.sum(e * e * W[None, :])
+        return cost
 
     def cond(carry):
         it, _poses, _lmks, _lam, _cost, done = carry
@@ -275,8 +349,13 @@ def bundle_adjust(
         p = BAProblem(poses=poses, lmks=lmks, obs=prob.obs, mask=prob.mask)
         c, g_p, g_l, H_pp, H_ll, H_pl, _r2, _m = ba_normal_equations(
             cam, p, kernel_param, use_robust)
+        prior = None
+        if use_prior:
+            H_pr, g_pr, _c_pr = relpose_prior_terms(
+                poses, rel_meas, rel_w_rot, rel_w_trans)
+            prior = (H_pr, g_pr)
         dpose, dlmk = _schur_solve(g_p, g_l, H_pp, H_ll, H_pl, lam,
-                                   fix_first, lmk_valid)
+                                   fix_first, lmk_valid, prior=prior)
         new_poses = poses + dpose
         new_lmks = lmks + dlmk * lmk_valid[:, None]
         new_cost = eval_cost(new_poses, new_lmks)

@@ -26,9 +26,11 @@ from rso.ba.ba import (
     BAProblem,
     BAResult,
     _project_grid,
+    _relpose_residuals,
     _robust_weights,
     ba_normal_equations,
     inv3x3,
+    relpose_prior_terms,
 )
 from rso.geometry.stereo_camera import StereoCamera
 
@@ -68,20 +70,41 @@ def distributed_bundle_adjust(
     fix_first: bool = True,
     init_lambda: float = 1e-4,
     tol: float = 1e-5,
+    rel_meas=None,
+    rel_w_rot: float = 0.0,
+    rel_w_trans: float = 0.0,
 ) -> BAResult:
-    """LM BA with the landmark axis sharded over `mesh`'s 'lmk' axis."""
+    """LM BA with the landmark axis sharded over `mesh`'s 'lmk' axis.
+
+    rel_meas/rel_w_* enable the odometry prior (see rso.ba.ba.bundle_adjust);
+    the prior is pose-only, so it is computed replicated on every shard — no
+    extra communication.
+    """
     axis = mesh.axis_names[0]
     n_shards = mesh.devices.size
     prob = pad_problem(prob, n_shards)
     nP = prob.poses.shape[0]
+    use_prior = rel_meas is not None and (rel_w_rot > 0 or rel_w_trans > 0)
+    rel_arr = (jnp.asarray(rel_meas, prob.poses.dtype) if use_prior
+               else jnp.zeros((max(nP - 1, 1), 6), prob.poses.dtype))
+
+    def prior_cost(poses, rel):
+        if not use_prior:
+            return 0.0
+        W = jnp.concatenate([
+            jnp.full((3,), rel_w_rot, poses.dtype),
+            jnp.full((3,), rel_w_trans, poses.dtype)])
+        e = _relpose_residuals(poses, rel)
+        return 0.5 * jnp.sum(e * e * W[None, :])
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(None, axis, None), P(None, axis)),
+        in_specs=(P(), P(axis, None), P(None, axis, None), P(None, axis),
+                  P()),
         out_specs=(P(), P(axis, None), P(), P(), P()),
     )
-    def lm_solve(poses0, lmks0, obs, mask):
+    def lm_solve(poses0, lmks0, obs, mask, rel):
         """Runs per-shard; psum glues the reduced camera system together."""
         lmk_valid = jnp.any(mask, axis=0)
 
@@ -90,7 +113,8 @@ def distributed_bundle_adjust(
             r2 = jnp.sum((obs - pix) ** 2, axis=-1)
             _, fi = _robust_weights(r2, kernel_param, use_robust)
             m = mask & jnp.all(jnp.isfinite(pix), -1)
-            return lax.psum(jnp.sum(jnp.where(m, fi, 0.0)), axis)
+            return (lax.psum(jnp.sum(jnp.where(m, fi, 0.0)), axis)
+                    + prior_cost(poses, rel))
 
         def body(carry):
             it, poses, lmks, lam, cost, done = carry
@@ -119,6 +143,11 @@ def distributed_bundle_adjust(
             S = -S_cross
             S = S.at[jnp.arange(nP), jnp.arange(nP)].add(
                 H_pp + lam * eye6[None])
+            if use_prior:
+                H_pr, g_pr, _c_pr = relpose_prior_terms(
+                    poses, rel, rel_w_rot, rel_w_trans)
+                S = S + H_pr.transpose(0, 2, 1, 3)
+                b = b + g_pr
             if fix_first:
                 S = S.at[0, :, :, :].set(0.0)
                 S = S.at[:, 0, :, :].set(0.0)
@@ -166,6 +195,6 @@ def distributed_bundle_adjust(
         return poses, lmks, cost, it, done
 
     poses, lmks, cost, it, done = jax.jit(lm_solve)(
-        prob.poses, prob.lmks, prob.obs, prob.mask)
+        prob.poses, prob.lmks, prob.obs, prob.mask, rel_arr)
     return BAResult(poses=poses, lmks=lmks, cost=cost, n_iters=it,
                     converged=done)

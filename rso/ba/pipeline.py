@@ -22,14 +22,24 @@ from rso.geometry.stereo_camera import StereoCamera
 
 
 def keyframe_obs_from_state(state: EngineState, cfg: RSOConfig,
-                            pose_wc: np.ndarray) -> KeyframeObs:
+                            pose_wc: np.ndarray,
+                            obs_outlier: np.ndarray | None = None,
+                            pose_vo: np.ndarray | None = None) -> KeyframeObs:
     """Extract the current frame's stereo observations + match IDs from the
-    engine state (state.prev holds the just-processed frame)."""
+    engine state (state.prev holds the just-processed frame).
+
+    obs_outlier: optional flat [O*K] bool from StepResult — current-frame
+    match slots whose track was rejected by the pose solve; those
+    observations are excluded so aliased landmarks never enter the window.
+    """
+    K = cfg.tpu.max_kps_per_octave
     ids_all, obs_all = [], []
     for o, oct_data in enumerate(state.prev.octaves):
         scale = float(2 ** o)
         shift = (scale - 1.0) / 2.0
         valid = np.asarray(oct_data.matches.valid)
+        if obs_outlier is not None:
+            valid = valid & ~np.asarray(obs_outlier)[o * K:(o + 1) * K]
         ids = np.asarray(oct_data.match_ids)[valid]
         lxy = np.asarray(oct_data.left.xy)[valid] * scale + shift
         ridx = np.asarray(oct_data.matches.ridx)[valid]
@@ -42,6 +52,7 @@ def keyframe_obs_from_state(state: EngineState, cfg: RSOConfig,
         pose_wc=np.asarray(pose_wc),
         ids=np.concatenate(ids_all).astype(np.int64),
         obs=np.concatenate(obs_all).astype(np.float32),
+        pose_vo=None if pose_vo is None else np.asarray(pose_vo),
     )
 
 
@@ -59,7 +70,8 @@ class VOWithBA:
                  max_keyframes: int = 8, max_landmarks: int = 1024,
                  ba_iters: int = 15, mesh=None,
                  min_tracked_ratio: float = 0.25, min_tracked_abs: int = 25,
-                 min_kf_gap: int = 3, max_correction: float = 0.15):
+                 min_kf_gap: int = 3, max_correction: float = 0.15,
+                 rel_w_rot: float = 4.0e4, rel_w_trans: float = 2.5e3):
         self.engine = Engine(cfg, cam)
         self.cfg = cfg
         self.cam = cam
@@ -70,6 +82,11 @@ class VOWithBA:
         self.min_tracked_abs = min_tracked_abs
         self.min_kf_gap = min_kf_gap
         self.max_correction = max_correction
+        # odometry-prior weights (inverse variances, rad^-2 / m^-2): anchor
+        # consecutive KFs to their VO relative motion so weak-geometry window
+        # solves stay bounded (sigma_rot ~ 0.005 rad, sigma_t ~ 0.02 m)
+        self.rel_w_rot = rel_w_rot
+        self.rel_w_trans = rel_w_trans
         self._frames_since_kf = 10**9
         self.T = np.eye(4)               # pure VO integration (never fed back)
         self._correction = np.eye(4)     # BA refinement applied to the output
@@ -100,7 +117,9 @@ class VOWithBA:
         if make_kf and self.engine.state is not None:
             T_vo_kf = self.T.copy()
             kf = keyframe_obs_from_state(self.engine.state, self.cfg,
-                                         self._correction @ T_vo_kf)
+                                         self._correction @ T_vo_kf,
+                                         obs_outlier=np.asarray(res.obs_outlier),
+                                         pose_vo=T_vo_kf)
             self.window.add_keyframe(kf)
             self.engine.set_this_frame_as_kf()
 
@@ -108,6 +127,7 @@ class VOWithBA:
                 prob, _ids = self.window.build_problem(self.cam)
                 n_shared = int(np.asarray(prob.mask).any(0).sum())
                 if n_shared >= 24:
+                    rel = self.window.rel_measurements()
                     if self.mesh is not None:
                         from rso.ba.distributed import (
                             distributed_bundle_adjust,
@@ -115,10 +135,15 @@ class VOWithBA:
 
                         out = distributed_bundle_adjust(
                             self.cam, prob, self.mesh,
-                            max_iters=self.ba_iters)
+                            max_iters=self.ba_iters,
+                            rel_meas=rel, rel_w_rot=self.rel_w_rot,
+                            rel_w_trans=self.rel_w_trans)
                     else:
                         out = bundle_adjust(self.cam, prob,
-                                            max_iters=self.ba_iters)
+                                            max_iters=self.ba_iters,
+                                            rel_meas=rel,
+                                            rel_w_rot=self.rel_w_rot,
+                                            rel_w_trans=self.rel_w_trans)
                     ba_cost = float(out.cost)
                     refined_poses = np.asarray(out.poses)
                     # gate: a window refinement that moves the newest KF far

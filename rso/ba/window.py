@@ -27,6 +27,8 @@ class KeyframeObs(NamedTuple):
     pose_wc: np.ndarray     # [4,4] camera-to-world (current best estimate)
     ids: np.ndarray         # [N] int64 match IDs
     obs: np.ndarray         # [N,4] (uL,vL,uR,vR) full-resolution coords
+    pose_vo: np.ndarray | None = None  # [4,4] pure-VO camera-to-world at this
+    # KF — the measurement behind the odometry prior (never BA-refined)
 
 
 class SlidingWindow:
@@ -111,6 +113,25 @@ class SlidingWindow:
             mask=jnp.asarray(mask),
         )
         return prob, np.array(shared + [-1] * (self.L - nL), np.int64)
+
+    def rel_measurements(self) -> np.ndarray | None:
+        """VO-measured consecutive relative transforms [P-1,6] (w,t of
+        T_rel = inv(T_vo_{p+1}) @ T_vo_p, mapping cam_p -> cam_{p+1} in
+        world->cam convention) for the odometry prior.  None when any
+        keyframe lacks a pose_vo."""
+        if len(self.keyframes) < 2:
+            return None
+        if any(kf.pose_vo is None for kf in self.keyframes):
+            return None
+        from scipy.spatial.transform import Rotation
+
+        out = []
+        for a, b in zip(self.keyframes[:-1], self.keyframes[1:]):
+            T_rel = np.linalg.inv(b.pose_vo) @ a.pose_vo
+            out.append(np.concatenate([
+                Rotation.from_matrix(T_rel[:3, :3]).as_rotvec(),
+                T_rel[:3, 3]]))
+        return np.stack(out).astype(np.float32)
 
     def apply_result(self, poses6: np.ndarray):
         """Write optimized world->cam poses back as camera-to-world matrices."""

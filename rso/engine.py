@@ -95,6 +95,9 @@ class StepResult(NamedTuple):
     track_mask: jnp.ndarray             # [T] bool slots that entered stage 5
     inliers: jnp.ndarray                # [T] bool final inlier set
     cost: jnp.ndarray                   # f32 final robust cost
+    obs_outlier: jnp.ndarray            # [T] bool: CURRENT-frame match slots
+    # whose track entered the pose solve and was judged an outlier — gates
+    # which observations a keyframe contributes to the BA window
 
 
 # ---------------------------------------------------------------------------
@@ -465,6 +468,7 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         # ---- ID propagation (C20) with the POST-filter tracks ---------------
         # (false tracks must not carry landmark identity into the BA window)
         n_tracked_total = jnp.sum(tmask.astype(jnp.int32))
+        tgts = []
         for o in range(O):
             p = state.prev.octaves[o]
             c = cur_octs[o]
@@ -473,6 +477,7 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
             # scatter prev ids to tracked cur slots; invalid entries scatter
             # out of bounds (index K) and are dropped
             tgt = jnp.where(trk_ok, trk_idx, K)
+            tgts.append(tgt)
             tracked_mask_cur = jnp.zeros((K,), jnp.bool_).at[tgt].set(
                 True, mode="drop")
             prop_ids = jnp.full((K,), -1, jnp.int32).at[tgt].set(
@@ -498,6 +503,17 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         sol = solve_pose(cam, prev_obs, cur_obs, smask, cfg.least_squares,
                          initial_pose=init_pose, obs_weight=obs_w)
 
+        # per-CURRENT-slot outlier flags: a track that entered the solve and
+        # was cut by the residual threshold marks its current match slot so
+        # the BA window never ingests that observation (tracked-but-rejected
+        # correspondences are exactly the aliased landmarks that destabilize
+        # short-lifetime window solves)
+        outlier_prev = smask & ~sol.inliers
+        obs_outlier = jnp.concatenate([
+            jnp.zeros((K,), jnp.bool_).at[tgts[o]].set(
+                outlier_prev[o * K:(o + 1) * K], mode="drop")
+            for o in range(O)])
+
         # ---- error codes & result -------------------------------------------
         first = ~state.have_prev
         error_code = jnp.where(
@@ -520,6 +536,7 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
             track_mask=smask,
             inliers=sol.inliers,
             cost=sol.cost,
+            obs_outlier=obs_outlier,
         )
 
         # ---- state shift (C2 recovery semantics) ----------------------------

@@ -192,6 +192,141 @@ class TestPipeline:
         assert ate_ba < ate_vo * 1.5  # BA never catastrophically degrades
 
 
+def _rel_from_poses(poses6):
+    """Ground-truth consecutive relative transforms [P-1,6] from world->cam
+    pose 6-vectors (same convention as SlidingWindow.rel_measurements)."""
+    out = []
+    poses6 = np.asarray(poses6)
+    for a, b in zip(poses6[:-1], poses6[1:]):
+        Ra = Rotation.from_rotvec(a[:3]).as_matrix()
+        Rb = Rotation.from_rotvec(b[:3]).as_matrix()
+        R_rel = Rb @ Ra.T
+        t_rel = b[3:] - R_rel @ a[3:]
+        out.append(np.concatenate([
+            Rotation.from_matrix(R_rel).as_rotvec(), t_rel]))
+    return np.stack(out).astype(np.float32)
+
+
+class TestOdometryPrior:
+    def test_relpose_residual_zero_at_truth(self, rng):
+        from rso.ba.ba import _relpose_residuals
+
+        prob, true_poses, _ = make_ba_problem(rng)
+        rel = jnp.asarray(_rel_from_poses(true_poses))
+        e = _relpose_residuals(true_poses, rel)
+        assert float(jnp.max(jnp.abs(e))) < 1e-5
+
+    def test_prior_improves_weak_problem(self, rng):
+        """Few noisy observations -> the unconstrained window solve wanders;
+        an exact odometry prior must pull poses toward truth."""
+        prob, true_poses, _ = make_ba_problem(rng, P=5, L=24, noise=1.5,
+                                              pose_pert=0.02, lmk_pert=0.5)
+        rel = jnp.asarray(_rel_from_poses(true_poses))
+        res_free = bundle_adjust(CAM, prob, max_iters=25)
+        res_prior = bundle_adjust(CAM, prob, max_iters=25, rel_meas=rel,
+                                  rel_w_rot=1e6, rel_w_trans=1e6)
+        err_free = float(jnp.mean(jnp.abs(res_free.poses - true_poses)))
+        err_prior = float(jnp.mean(jnp.abs(res_prior.poses - true_poses)))
+        assert err_prior <= err_free * 1.05
+        # with a near-hard prior the relative chain must match VO
+        from rso.ba.ba import _relpose_residuals
+
+        e = _relpose_residuals(res_prior.poses, rel)
+        assert float(jnp.max(jnp.abs(e))) < 5e-3
+
+    def test_prior_does_not_hurt_strong_problem(self, rng):
+        prob, true_poses, _ = make_ba_problem(rng)
+        rel = jnp.asarray(_rel_from_poses(true_poses))
+        res = bundle_adjust(CAM, prob, max_iters=25, rel_meas=rel,
+                            rel_w_rot=4e4, rel_w_trans=2.5e3)
+        err0 = float(jnp.mean(jnp.abs(prob.poses - true_poses)))
+        err1 = float(jnp.mean(jnp.abs(res.poses - true_poses)))
+        assert err1 < err0 / 5
+
+    def test_distributed_matches_single_with_prior(self, rng):
+        prob, true_poses, _ = make_ba_problem(rng, L=64)
+        rel = jnp.asarray(_rel_from_poses(true_poses))
+        mesh = make_mesh()
+        res_s = bundle_adjust(CAM, prob, max_iters=12, rel_meas=rel,
+                              rel_w_rot=4e4, rel_w_trans=2.5e3)
+        res_d = distributed_bundle_adjust(CAM, prob, mesh, max_iters=12,
+                                          rel_meas=rel, rel_w_rot=4e4,
+                                          rel_w_trans=2.5e3)
+        np.testing.assert_allclose(np.asarray(res_s.poses),
+                                   np.asarray(res_d.poses), atol=2e-4)
+
+    def test_window_rel_measurements(self, rng):
+        w = SlidingWindow(4, 64)
+        T0, T1 = np.eye(4), np.eye(4)
+        T1[:3, 3] = [0.1, 0.0, 0.4]
+        w.add_keyframe(KeyframeObs(pose_wc=T0, ids=np.array([1, 2]),
+                                   obs=np.zeros((2, 4), np.float32),
+                                   pose_vo=T0))
+        w.add_keyframe(KeyframeObs(pose_wc=T1, ids=np.array([1, 2]),
+                                   obs=np.zeros((2, 4), np.float32),
+                                   pose_vo=T1))
+        rel = w.rel_measurements()
+        assert rel.shape == (1, 6)
+        # relative cam motion: X_c1 = inv(T1) @ T0 @ X_c0
+        np.testing.assert_allclose(rel[0, 3:], -T1[:3, 3], atol=1e-6)
+        # missing pose_vo -> None
+        w.add_keyframe(KeyframeObs(pose_wc=T1, ids=np.array([1]),
+                                   obs=np.zeros((1, 4), np.float32)))
+        assert w.rel_measurements() is None
+
+
+class TestObsOutlierGating:
+    def test_keyframe_obs_excludes_flagged_slots(self):
+        """keyframe_obs_from_state(obs_outlier=...) must drop exactly the
+        flagged valid-match slots from the keyframe's observation set."""
+        from rso.ba.pipeline import keyframe_obs_from_state
+        from rso.engine import Engine
+        from rso.synthetic import make_sequence, synthetic_config
+
+        seq = make_sequence(n_frames=3, n_points=1500)
+        cfg = synthetic_config()
+        eng = Engine(cfg, seq.cam)
+        for l, r in seq.frames:
+            res = eng.process_frame(l, r)
+
+        T = np.eye(4)
+        kf_all = keyframe_obs_from_state(eng.state, cfg, T)
+        outlier = np.asarray(res.obs_outlier)
+        kf_gated = keyframe_obs_from_state(eng.state, cfg, T,
+                                           obs_outlier=outlier)
+        # gated set is a subset of the ungated set
+        assert set(kf_gated.ids.tolist()) <= set(kf_all.ids.tolist())
+        # count the flagged slots that would otherwise have contributed
+        K = cfg.tpu.max_kps_per_octave
+        dropped = 0
+        for o, od in enumerate(eng.state.prev.octaves):
+            valid = np.asarray(od.matches.valid)
+            ids = np.asarray(od.match_ids)
+            flag = outlier[o * K:(o + 1) * K]
+            dropped += int(np.sum(valid & flag & (ids >= 0)))
+        assert len(kf_all.ids) - len(kf_gated.ids) == dropped
+
+    def test_obs_outlier_subset_of_solver_outliers(self):
+        """Every flagged current slot traces back to a track that entered the
+        solve and was rejected; counts can only shrink through the scatter."""
+        from rso.engine import Engine
+        from rso.synthetic import make_sequence, synthetic_config
+
+        seq = make_sequence(n_frames=3, n_points=1500)
+        eng = Engine(synthetic_config(), seq.cam)
+        for l, r in seq.frames:
+            res = eng.process_frame(l, r)
+        n_out_prev = int(np.sum(np.asarray(res.track_mask)
+                                & ~np.asarray(res.inliers)))
+        n_flag = int(np.sum(np.asarray(res.obs_outlier)))
+        assert n_flag <= n_out_prev
+        # flagged slots are real current matches
+        K = eng.cfg.tpu.max_kps_per_octave
+        for o, od in enumerate(eng.state.prev.octaves):
+            flag = np.asarray(res.obs_outlier)[o * K:(o + 1) * K]
+            assert np.all(~flag | np.asarray(od.matches.valid))
+
+
 class TestProjectGrid:
     def test_vectorized_matches_per_element(self, rng):
         """The batched projection must equal the per-element vmap form."""
