@@ -41,6 +41,9 @@ class BAProblem(NamedTuple):
     lmks: jnp.ndarray       # [L,3]
     obs: jnp.ndarray        # [P,L,4]
     mask: jnp.ndarray       # [P,L] bool
+    lmk_weight: jnp.ndarray | None = None  # [L] observation down-weighting
+    # (e.g. 2-view landmarks: geometrically valid but noise-dominated during
+    # fast rotation — weighted, not dropped, so the problem never starves)
 
 
 class BAResult(NamedTuple):
@@ -230,6 +233,8 @@ def ba_normal_equations(cam: StereoCamera, prob: BAProblem,
     J_l = jnp.where(mb[..., None], J_l, 0.0)
     r2 = jnp.where(m > 0, r2, 0.0)
     rho, fi = _robust_weights(r2, kernel_param, use_robust)
+    if prob.lmk_weight is not None:
+        m = m * prob.lmk_weight[None, :]
     w = m * rho
 
     cost = jnp.sum(m * fi)
@@ -330,8 +335,10 @@ def bundle_adjust(
         pix, _, _ = _project_grid(cam, poses, lmks)
         r2 = jnp.sum((prob.obs - pix) ** 2, axis=-1)
         _, fi = _robust_weights(r2, kernel_param, use_robust)
-        m = prob.mask & jnp.all(jnp.isfinite(pix), -1)
-        cost = jnp.sum(jnp.where(m, fi, 0.0))
+        m = (prob.mask & jnp.all(jnp.isfinite(pix), -1)).astype(fi.dtype)
+        if prob.lmk_weight is not None:
+            m = m * prob.lmk_weight[None, :]
+        cost = jnp.sum(m * fi)
         if use_prior:
             W = jnp.concatenate([
                 jnp.full((3,), rel_w_rot, poses.dtype),
@@ -346,7 +353,8 @@ def bundle_adjust(
 
     def body(carry):
         it, poses, lmks, lam, cost, done = carry
-        p = BAProblem(poses=poses, lmks=lmks, obs=prob.obs, mask=prob.mask)
+        p = BAProblem(poses=poses, lmks=lmks, obs=prob.obs, mask=prob.mask,
+                      lmk_weight=prob.lmk_weight)
         c, g_p, g_l, H_pp, H_ll, H_pl, _r2, _m = ba_normal_equations(
             cam, p, kernel_param, use_robust)
         prior = None

@@ -57,6 +57,8 @@ def pad_problem(prob: BAProblem, n_shards: int) -> BAProblem:
         lmks=jnp.concatenate([prob.lmks, pad_lmks]),
         obs=jnp.pad(prob.obs, ((0, 0), (0, pad), (0, 0))),
         mask=jnp.pad(prob.mask, ((0, 0), (0, pad))),
+        lmk_weight=(None if prob.lmk_weight is None
+                    else jnp.pad(prob.lmk_weight, (0, pad))),
     )
 
 
@@ -97,14 +99,17 @@ def distributed_bundle_adjust(
         e = _relpose_residuals(poses, rel)
         return 0.5 * jnp.sum(e * e * W[None, :])
 
+    lw = (jnp.ones(prob.lmks.shape[0], prob.lmks.dtype)
+          if prob.lmk_weight is None else prob.lmk_weight)
+
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(None, axis, None), P(None, axis),
-                  P()),
+                  P(), P(axis)),
         out_specs=(P(), P(axis, None), P(), P(), P()),
     )
-    def lm_solve(poses0, lmks0, obs, mask, rel):
+    def lm_solve(poses0, lmks0, obs, mask, rel, lmk_w):
         """Runs per-shard; psum glues the reduced camera system together."""
         lmk_valid = jnp.any(mask, axis=0)
 
@@ -112,13 +117,15 @@ def distributed_bundle_adjust(
             pix, _, _ = _project_grid(cam, poses, lmks)
             r2 = jnp.sum((obs - pix) ** 2, axis=-1)
             _, fi = _robust_weights(r2, kernel_param, use_robust)
-            m = mask & jnp.all(jnp.isfinite(pix), -1)
-            return (lax.psum(jnp.sum(jnp.where(m, fi, 0.0)), axis)
+            m = (mask & jnp.all(jnp.isfinite(pix), -1)).astype(fi.dtype)
+            m = m * lmk_w[None, :]
+            return (lax.psum(jnp.sum(m * fi), axis)
                     + prior_cost(poses, rel))
 
         def body(carry):
             it, poses, lmks, lam, cost, done = carry
-            p = BAProblem(poses=poses, lmks=lmks, obs=obs, mask=mask)
+            p = BAProblem(poses=poses, lmks=lmks, obs=obs, mask=mask,
+                          lmk_weight=lmk_w)
             _c, g_p, g_l, H_pp, H_ll, H_pl, _r2, _m = ba_normal_equations(
                 cam, p, kernel_param, use_robust)
             # pose-side blocks carry partial landmark sums -> all-reduce
@@ -195,6 +202,6 @@ def distributed_bundle_adjust(
         return poses, lmks, cost, it, done
 
     poses, lmks, cost, it, done = jax.jit(lm_solve)(
-        prob.poses, prob.lmks, prob.obs, prob.mask, rel_arr)
+        prob.poses, prob.lmks, prob.obs, prob.mask, rel_arr, lw)
     return BAResult(poses=poses, lmks=lmks, cost=cost, n_iters=it,
                     converged=done)

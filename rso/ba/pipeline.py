@@ -56,6 +56,29 @@ def keyframe_obs_from_state(state: EngineState, cfg: RSOConfig,
     )
 
 
+def _clamp_transform(G: np.ndarray, max_rot: float,
+                     max_trans: float) -> np.ndarray:
+    """Scale a rigid transform toward identity (geodesic interpolation
+    G -> G^alpha) so its rotation angle <= max_rot and translation norm
+    <= max_trans."""
+    from scipy.spatial.transform import Rotation
+
+    rv = Rotation.from_matrix(G[:3, :3]).as_rotvec()
+    ang = float(np.linalg.norm(rv))
+    tn = float(np.linalg.norm(G[:3, 3]))
+    alpha = 1.0
+    if ang > max_rot > 0:
+        alpha = min(alpha, max_rot / ang)
+    if tn > max_trans > 0:
+        alpha = min(alpha, max_trans / tn)
+    if alpha >= 1.0:
+        return G
+    out = np.eye(4)
+    out[:3, :3] = Rotation.from_rotvec(alpha * rv).as_matrix()
+    out[:3, 3] = alpha * G[:3, 3]
+    return out
+
+
 class BAFrameResult(NamedTuple):
     pose_wc: np.ndarray      # current camera-to-world (BA-refined lineage)
     vo_valid: bool
@@ -71,20 +94,28 @@ class VOWithBA:
                  ba_iters: int = 15, mesh=None,
                  min_tracked_ratio: float = 0.25, min_tracked_abs: int = 25,
                  min_kf_gap: int = 3, max_correction: float = 0.15,
-                 rel_w_rot: float = 4.0e4, rel_w_trans: float = 2.5e3):
+                 max_rot_correction: float = 0.0035,
+                 rel_w_rot: float = 4.0e2, rel_w_trans: float = 25.0,
+                 min_obs: int = 2, two_view_weight: float = 0.2):
         self.engine = Engine(cfg, cam)
         self.cfg = cfg
         self.cam = cam
-        self.window = SlidingWindow(max_keyframes, max_landmarks)
+        self.window = SlidingWindow(max_keyframes, max_landmarks,
+                                    min_obs=min_obs,
+                                    two_view_weight=two_view_weight)
         self.ba_iters = ba_iters
         self.mesh = mesh
         self.min_tracked_ratio = min_tracked_ratio
         self.min_tracked_abs = min_tracked_abs
         self.min_kf_gap = min_kf_gap
+        # per-solve caps on the exported correction increment (trust region;
+        # see _clamp_transform call): translation metres, rotation radians
         self.max_correction = max_correction
-        # odometry-prior weights (inverse variances, rad^-2 / m^-2): anchor
-        # consecutive KFs to their VO relative motion so weak-geometry window
-        # solves stay bounded (sigma_rot ~ 0.005 rad, sigma_t ~ 0.02 m)
+        self.max_rot_correction = max_rot_correction
+        # odometry-prior weights (inverse variances, rad^-2 / m^-2): a WEAK
+        # anchor of consecutive KFs to their VO relative motion — regularizes
+        # weak-geometry windows without suppressing the drift corrections BA
+        # exists to provide (sweep: tools/eval_ba_quality.py)
         self.rel_w_rot = rel_w_rot
         self.rel_w_trans = rel_w_trans
         self._frames_since_kf = 10**9
@@ -146,22 +177,19 @@ class VOWithBA:
                                             rel_w_trans=self.rel_w_trans)
                     ba_cost = float(out.cost)
                     refined_poses = np.asarray(out.poses)
-                    # gate: a window refinement that moves the newest KF far
-                    # from its odometry estimate is a failed solve (aliased
-                    # landmarks / weak geometry), not a correction — reject
-                    # it and keep the window at the odometry poses
-                    kf_before = self.window.keyframes[-1].pose_wc
-                    from scipy.spatial.transform import Rotation
-
-                    R_cw = Rotation.from_rotvec(
-                        refined_poses[-1, :3]).as_matrix()
-                    t_new = -R_cw.T @ refined_poses[-1, 3:]
-                    delta = float(np.linalg.norm(t_new - kf_before[:3, 3]))
-                    if delta <= self.max_correction:
-                        refined = self.window.apply_result(refined_poses)
-                        # smoother: refined newest KF vs its VO estimate
-                        self._correction = refined[-1] @ np.linalg.inv(
-                            self._correction @ T_vo_kf) @ self._correction
+                    refined = self.window.apply_result(refined_poses)
+                    # trust region on the smoother update: the correction
+                    # increment G left-composes onto every future pose, so a
+                    # single noisy window solve (weak geometry during turns)
+                    # would lever-arm into unbounded drift.  Instead of
+                    # rejecting (the old hard gate starved good corrections),
+                    # clamp G's rotation angle / translation norm by geodesic
+                    # scaling — frequent small corrections pass untouched.
+                    G = refined[-1] @ np.linalg.inv(
+                        self._correction @ T_vo_kf)
+                    G = _clamp_transform(G, self.max_rot_correction,
+                                         self.max_correction)
+                    self._correction = G @ self._correction
         return BAFrameResult(pose_wc=self._correction @ self.T,
                              vo_valid=valid,
                              is_keyframe=bool(make_kf), ba_cost=ba_cost)

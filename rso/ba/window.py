@@ -32,9 +32,15 @@ class KeyframeObs(NamedTuple):
 
 
 class SlidingWindow:
-    def __init__(self, max_keyframes: int = 8, max_landmarks: int = 1024):
+    def __init__(self, max_keyframes: int = 8, max_landmarks: int = 1024,
+                 min_obs: int = 2, two_view_weight: float = 0.2):
         self.W = max_keyframes
         self.L = max_landmarks
+        self.min_obs = min_obs  # KFs that must observe a landmark for a slot
+        # landmarks seen by exactly 2 KFs are kept (dropping them starves the
+        # problem on straight runs) but down-weighted: during fast rotation
+        # their triangulation noise dominates and biases the window rotation
+        self.two_view_weight = two_view_weight
         self.keyframes: list[KeyframeObs] = []
 
     def add_keyframe(self, kf: KeyframeObs):
@@ -63,10 +69,14 @@ class SlidingWindow:
         counts = Counter()
         for kf in self.keyframes:
             counts.update(kf.ids.tolist())
-        shared = [i for i, c in counts.items() if c >= 2]
+        shared = [i for i, c in counts.items() if c >= self.min_obs]
         shared = shared[: self.L]
         slot_of = {i: s for s, i in enumerate(shared)}
         nL = len(shared)
+        lmk_weight = np.ones(self.L, np.float32)
+        for s, i in enumerate(shared):
+            if counts[i] == 2:
+                lmk_weight[s] = self.two_view_weight
 
         obs = np.zeros((P, self.L, 4), np.float32)
         mask = np.zeros((P, self.L), bool)
@@ -111,6 +121,7 @@ class SlidingWindow:
             lmks=jnp.asarray(lmks),
             obs=jnp.asarray(obs),
             mask=jnp.asarray(mask),
+            lmk_weight=jnp.asarray(lmk_weight),
         )
         return prob, np.array(shared + [-1] * (self.L - nL), np.int64)
 

@@ -198,6 +198,11 @@ class TPUParams:
     # XLA path is currently ~20% faster for the [512,512]x64 shapes (488us vs
     # 589us SAD), so the fused path is the default.
     use_pallas: bool = False
+    # Compute the all-pairs patch distance on the MXU as a mapped squared-L2
+    # (one matmul) instead of the exact VPU abs-diff SAD — same thresholds,
+    # near-identical ranking (rso.kernels.distance.sad_matrix_mxu).  The nine
+    # [K,K,64] SAD reductions are the stereo-match + tracking hot spot.
+    use_mxu_distance: bool = True
     # Fused Pallas detection kernel (corner test + Shi-Tomasi in one VMEM
     # pass, rso.kernels.fast_detect).  Equivalent to the XLA path inside the
     # engine's border margin; see tests/test_kernels.py.

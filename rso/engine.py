@@ -303,7 +303,8 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
             m = match_left_right(fl, fr, cfg.lr_match, img_w >> o,
                                  min_response, fx_baseline=fxb,
                                  use_pallas=cfg.tpu.use_pallas,
-                                 interpret_pallas=cfg.tpu.interpret_pallas)
+                                 interpret_pallas=cfg.tpu.interpret_pallas,
+                                 use_mxu=cfg.tpu.use_mxu_distance)
             cur_octs.append(OctaveData(left=fl, right=fr, matches=m,
                                        match_ids=jnp.full((K,), -1, jnp.int32)))
             n_matches.append(jnp.sum(m.valid.astype(jnp.int32)))
@@ -382,6 +383,7 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
                     ransac_threshold=cfg.tpu.ransac_threshold,
                     use_pallas=cfg.tpu.use_pallas,
                     interpret_pallas=cfg.tpu.interpret_pallas,
+                    use_mxu=cfg.tpu.use_mxu_distance,
                 )
             # no previous frame -> nothing tracked
             trk_valid = trk.valid & state.have_prev

@@ -85,6 +85,7 @@ def match_left_right(
     fx_baseline: float | None = None,
     use_pallas: bool = False,
     interpret_pallas: bool = False,
+    use_mxu: bool = False,
 ) -> StereoMatches:
     """Stereo-match one octave's left/right feature sets.
 
@@ -98,7 +99,7 @@ def match_left_right(
 
     if method == StereoMatchMethod.SAD:
         D = sad_matrix_auto(left.patch, right.patch, use_pallas,
-                            interpret_pallas)
+                            interpret_pallas, use_mxu=use_mxu)
         max_distance = float(params.sad_max_distance)
         use_ratio = True
     else:  # smDescBF / smDescRbR: Hamming on descriptors

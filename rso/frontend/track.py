@@ -64,6 +64,7 @@ def track_interframe(
     ransac_threshold: float = 1.0,
     use_pallas: bool = False,
     interpret_pallas: bool = False,
+    use_mxu: bool = False,
 ) -> TrackResult:
     K = prev_matches.ridx.shape[0]
     method = params.ifm_method
@@ -80,9 +81,9 @@ def track_interframe(
 
     if method == IFMatchMethod.SAD:
         sad_l = sad_matrix_auto(prev_left.patch, cur_left.patch, use_pallas,
-                                interpret_pallas)
+                                interpret_pallas, use_mxu=use_mxu)
         sad_r = sad_matrix_auto(pR_patch, cR_patch, use_pallas,
-                                interpret_pallas)
+                                interpret_pallas, use_mxu=use_mxu)
         side_ok = (sad_l <= params.sad_max_distance) & (
             sad_r <= params.sad_max_distance)
         cost = sad_l + sad_r

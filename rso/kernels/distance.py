@@ -33,6 +33,28 @@ def sad_matrix_jnp(patches_a: jnp.ndarray, patches_b: jnp.ndarray) -> jnp.ndarra
                    axis=-1)
 
 
+def sad_matrix_mxu(patches_a: jnp.ndarray, patches_b: jnp.ndarray) -> jnp.ndarray:
+    """SAD-equivalent patch distance computed on the MXU.
+
+    The exact all-pairs SAD is an elementwise [Ka,Kb,P] abs-diff reduction the
+    systolic array cannot express; the squared-L2 distance CAN (one matmul:
+    ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b) and ranks candidates nearly
+    identically.  The result is mapped back to the SAD scale via the Gaussian
+    moment relation E[SAD] = P*sigma*sqrt(2/pi), E[SSD] = P*sigma^2 ->
+    SAD ~= sqrt(SSD * P * 2/pi), so every downstream threshold
+    (sad_max_distance, sad_max_ratio) keeps its calibration.  ~64x fewer
+    VPU ops than the abs-diff form at KITTI sizes; equivalence-vs-ranking
+    validated in tests/test_kernels.py.
+    """
+    P = patches_a.shape[1]
+    ab = lax.dot_general(patches_a, patches_b, (((1,), (1,)), ((), ())),
+                         precision=lax.Precision.HIGHEST)
+    na = jnp.sum(patches_a * patches_a, axis=-1)
+    nb = jnp.sum(patches_b * patches_b, axis=-1)
+    ssd = jnp.maximum(na[:, None] + nb[None, :] - 2.0 * ab, 0.0)
+    return jnp.sqrt(ssd * (P * 2.0 / jnp.pi))
+
+
 def hamming_matrix_jnp(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """[Ka,W] x [Kb,W] u32 -> [Ka,Kb] f32 Hamming distance."""
     x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
@@ -125,7 +147,9 @@ def _on_tpu() -> bool:
 
 
 def sad_matrix_auto(patches_a, patches_b, use_pallas: bool = True,
-                    interpret: bool = False):
+                    interpret: bool = False, use_mxu: bool = False):
+    if use_mxu:
+        return sad_matrix_mxu(patches_a, patches_b)
     if use_pallas and (interpret or _on_tpu()):
         return sad_matrix_pallas(patches_a, patches_b, interpret=interpret)
     return sad_matrix_jnp(patches_a, patches_b)

@@ -275,6 +275,47 @@ class TestOdometryPrior:
         assert w.rel_measurements() is None
 
 
+class TestLandmarkWeighting:
+    def test_window_emits_two_view_weights(self, rng):
+        """build_problem: 2-KF landmarks get two_view_weight, 3+ get 1.0."""
+        w = SlidingWindow(4, 64, two_view_weight=0.2)
+        T = np.eye(4)
+        obs = np.array([[320.0, 240.0, 300.0, 240.0]], np.float32)
+        # id 1 in 3 KFs, id 2 in 2 KFs
+        for ids in ([1, 2], [1, 2], [1]):
+            o = np.repeat(obs, len(ids), 0)
+            w.add_keyframe(KeyframeObs(pose_wc=T, ids=np.array(ids), obs=o))
+        prob, slot_ids = w.build_problem(CAM)
+        lw = np.asarray(prob.lmk_weight)
+        s1 = list(slot_ids).index(1)
+        s2 = list(slot_ids).index(2)
+        assert lw[s1] == 1.0
+        assert lw[s2] == pytest.approx(0.2)
+
+    def test_weighted_distributed_matches_single(self, rng):
+        prob, true_poses, _ = make_ba_problem(rng, L=64)
+        lw = jnp.asarray(rng.choice([0.2, 1.0], 64), jnp.float32)
+        prob = prob._replace(lmk_weight=lw)
+        mesh = make_mesh()
+        res_s = bundle_adjust(CAM, prob, max_iters=12)
+        res_d = distributed_bundle_adjust(CAM, prob, mesh, max_iters=12)
+        np.testing.assert_allclose(np.asarray(res_s.poses),
+                                   np.asarray(res_d.poses), atol=2e-4)
+
+    def test_zero_weight_equals_masked_out(self, rng):
+        """lmk_weight=0 must equal removing those landmarks from the mask."""
+        prob, _tp, _tl = make_ba_problem(rng, L=64)
+        drop = jnp.asarray(rng.random(64) < 0.3)
+        res_w = bundle_adjust(
+            CAM, prob._replace(lmk_weight=jnp.where(drop, 0.0, 1.0)),
+            max_iters=10)
+        res_m = bundle_adjust(
+            CAM, prob._replace(mask=prob.mask & ~drop[None, :]),
+            max_iters=10)
+        np.testing.assert_allclose(np.asarray(res_w.poses),
+                                   np.asarray(res_m.poses), atol=5e-4)
+
+
 class TestObsOutlierGating:
     def test_keyframe_obs_excludes_flagged_slots(self):
         """keyframe_obs_from_state(obs_outlier=...) must drop exactly the

@@ -55,6 +55,35 @@ class TestDistanceKernels:
         out = hamming_matrix_pallas(a, a, interpret=True)
         np.testing.assert_allclose(np.diag(np.asarray(out)), 0.0)
 
+    def test_mxu_distance_ranking_matches_sad(self, rng):
+        """The MXU squared-L2 formulation must pick the same best match as
+        exact SAD for nearly all slots on realistic patch data (noisy shifted
+        copies — the regime tracking actually operates in)."""
+        from rso.kernels.distance import sad_matrix_mxu
+
+        base = rng.normal(128, 40, (256, 64)).astype(np.float32)
+        # b contains a noisy copy of each a row (true matches) + distractors
+        noise = rng.normal(0, 8, base.shape).astype(np.float32)
+        b = np.concatenate([base + noise,
+                            rng.normal(128, 40, (256, 64))]).astype(np.float32)
+        Dsad = np.asarray(sad_matrix_jnp(jnp.asarray(base), jnp.asarray(b)))
+        Dmxu = np.asarray(sad_matrix_mxu(jnp.asarray(base), jnp.asarray(b)))
+        agree = np.mean(Dsad.argmin(1) == Dmxu.argmin(1))
+        assert agree > 0.98
+        # scale calibration: on Gaussian residuals the mapped values track
+        # the true SADs (moment relation sqrt(SSD * P * 2/pi))
+        true_idx = np.arange(256)
+        ratio = Dmxu[true_idx, true_idx] / np.maximum(
+            Dsad[true_idx, true_idx], 1e-6)
+        assert 0.8 < np.median(ratio) < 1.25
+
+    def test_mxu_distance_zero_diag(self, patches):
+        from rso.kernels.distance import sad_matrix_mxu
+
+        a, _ = patches
+        out = np.asarray(sad_matrix_mxu(a, a))
+        assert np.all(np.abs(np.diag(out)) < 1e-1)
+
     def test_sad_reference_scalar_oracle(self, rng):
         """Check one entry against a plain python double loop (the scalar
         oracle the reference's compute_SAD8_default implements)."""

@@ -42,8 +42,9 @@ def run_ba(cfg, seq, **kw):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    yaw = float(sys.argv[3]) if len(sys.argv) > 3 else 0.004
     seq = make_sequence(n_frames=n, n_points=max(2000, n * 12), seed=seed,
-                        speed=0.5, yaw_rate=0.004)
+                        speed=0.5, yaw_rate=yaw)
     cfg = synthetic_config()
     path_len = float(np.sum(np.linalg.norm(
         np.diff(seq.poses[:, :3, 3], axis=0), axis=1)))
@@ -54,15 +55,8 @@ def main():
     print(f"VO          ATE={a_vo:.4f} m ({100*a_vo/path_len:.3f}%)")
 
     variants = [
-        ("noprior/gate", dict(rel_w_rot=0.0, rel_w_trans=0.0)),
-        ("noprior/nogate", dict(rel_w_rot=0.0, rel_w_trans=0.0,
-                                max_correction=10.0)),
-        ("w1e2/nogate", dict(rel_w_rot=4e2, rel_w_trans=25.0,
-                             max_correction=10.0)),
-        ("w1e3/nogate", dict(rel_w_rot=4e3, rel_w_trans=250.0,
-                             max_correction=10.0)),
-        ("w1e4/nogate", dict(rel_w_rot=4e4, rel_w_trans=2.5e3,
-                             max_correction=10.0)),
+        ("2view-w0.2", dict()),
+        ("2view-w0.05", dict(two_view_weight=0.05)),
     ]
     for name, kw in variants:
         p, nsolve = run_ba(cfg, seq, **kw)
