@@ -97,17 +97,6 @@ def match_left_right(
     method = params.match_method
     K = left.xy.shape[0]
 
-    if method == StereoMatchMethod.SAD:
-        D = sad_matrix_auto(left.patch, right.patch, use_pallas,
-                            interpret_pallas, use_mxu=use_mxu)
-        max_distance = float(params.sad_max_distance)
-        use_ratio = True
-    else:  # smDescBF / smDescRbR: Hamming on descriptors
-        D = hamming_matrix_auto(left.desc, right.desc, use_pallas,
-                                interpret_pallas)
-        max_distance = float(params.orb_max_distance)
-        use_ratio = False  # reference applies no ratio test on ORB paths
-
     xl, yl = left.xy[:, 0], left.xy[:, 1]
     xr, yr = right.xy[:, 0], right.xy[:, 1]
 
@@ -127,14 +116,42 @@ def match_left_right(
         StereoMatchMethod.SAD, StereoMatchMethod.DESC_RBR) else float(img_w)
     pair_ok &= (disp >= 1.0) & (disp <= max_disp)
 
-    Dm = jnp.where(pair_ok & (D <= max_distance), D, _BIG)
+    if method == StereoMatchMethod.SAD:
+        max_distance = float(params.sad_max_distance)
+        use_ratio = True
+    else:  # smDescBF / smDescRbR: Hamming on descriptors
+        max_distance = float(params.orb_max_distance)
+        use_ratio = False  # reference applies no ratio test on ORB paths
 
-    # best + second-best per left feature
-    best_r = jnp.argmin(Dm, axis=1).astype(jnp.int32)
-    best_d = jnp.take_along_axis(Dm, best_r[:, None], axis=1)[:, 0]
-    row2 = jnp.where(
-        jax.nn.one_hot(best_r, Dm.shape[1], dtype=jnp.bool_), _BIG, Dm)
-    second_d = jnp.min(row2, axis=1)
+    if method == StereoMatchMethod.SAD and use_mxu:
+        # coarse-to-fine: MXU squared-L2 shortlist, exact SAD on top-8
+        # (kernels.distance.sad_topk_refine) — same acceptance semantics as
+        # the dense path, O(K^2 P) moved onto the systolic array
+        from rso.kernels.distance import sad_topk_refine
+
+        idx, sad, ok = sad_topk_refine(left.patch, right.patch, pair_ok)
+        sadm = jnp.where(ok & (sad <= max_distance), sad, _BIG)
+        j = jnp.argmin(sadm, axis=1)
+        best_d = jnp.take_along_axis(sadm, j[:, None], axis=1)[:, 0]
+        best_r = jnp.take_along_axis(idx, j[:, None], axis=1)[:, 0]
+        row2 = jnp.where(jax.nn.one_hot(j, sadm.shape[1], dtype=jnp.bool_),
+                         _BIG, sadm)
+        second_d = jnp.min(row2, axis=1)
+    else:
+        if method == StereoMatchMethod.SAD:
+            D = sad_matrix_auto(left.patch, right.patch, use_pallas,
+                                interpret_pallas)
+        else:
+            D = hamming_matrix_auto(left.desc, right.desc, use_pallas,
+                                    interpret_pallas)
+        Dm = jnp.where(pair_ok & (D <= max_distance), D, _BIG)
+
+        # best + second-best per left feature
+        best_r = jnp.argmin(Dm, axis=1).astype(jnp.int32)
+        best_d = jnp.take_along_axis(Dm, best_r[:, None], axis=1)[:, 0]
+        row2 = jnp.where(
+            jax.nn.one_hot(best_r, Dm.shape[1], dtype=jnp.bool_), _BIG, Dm)
+        second_d = jnp.min(row2, axis=1)
 
     cand_ok = best_d < _BIG
     if use_ratio:

@@ -80,13 +80,18 @@ def track_interframe(
     pair_ok = p_ok[:, None] & c_ok[None, :]
 
     if method == IFMatchMethod.SAD:
-        sad_l = sad_matrix_auto(prev_left.patch, cur_left.patch, use_pallas,
-                                interpret_pallas, use_mxu=use_mxu)
-        sad_r = sad_matrix_auto(pR_patch, cR_patch, use_pallas,
-                                interpret_pallas, use_mxu=use_mxu)
-        side_ok = (sad_l <= params.sad_max_distance) & (
-            sad_r <= params.sad_max_distance)
-        cost = sad_l + sad_r
+        if use_mxu:
+            # coarse-to-fine (see stereo_match): the window mask is applied
+            # to the coarse MXU cost below, so defer to the use_window block
+            side_ok = cost = None
+        else:
+            sad_l = sad_matrix_auto(prev_left.patch, cur_left.patch,
+                                    use_pallas, interpret_pallas)
+            sad_r = sad_matrix_auto(pR_patch, cR_patch, use_pallas,
+                                    interpret_pallas)
+            side_ok = (sad_l <= params.sad_max_distance) & (
+                sad_r <= params.sad_max_distance)
+            cost = sad_l + sad_r
         use_window = True
     elif method == IFMatchMethod.DESC_WIN:
         cost = hamming_matrix_auto(prev_left.desc, cur_left.desc, use_pallas,
@@ -125,6 +130,32 @@ def track_interframe(
         win = (dy <= params.ifm_win_w) & (dxl <= params.ifm_win_h) & (
             dxr <= params.ifm_win_h)
         pair_ok &= win
+
+    if method == IFMatchMethod.SAD and use_mxu:
+        # coarse-to-fine: MXU squared-L2 (both eyes summed) shortlists top-8
+        # per prev slot, exact SAD re-scores both eyes on the shortlist —
+        # identical acceptance semantics, O(K^2 P) on the systolic array
+        from rso.kernels.distance import ssd_matrix
+
+        coarse = ssd_matrix(prev_left.patch, cur_left.patch) + ssd_matrix(
+            pR_patch, cR_patch)
+        coarse = jnp.where(pair_ok, coarse, jnp.inf)
+        neg, idx = jax.lax.top_k(-coarse, 8)
+        ok8 = jnp.isfinite(neg)
+        sad_l8 = jnp.sum(jnp.abs(prev_left.patch[:, None, :]
+                                 - cur_left.patch[idx]), axis=-1)
+        sad_r8 = jnp.sum(jnp.abs(pR_patch[:, None, :]
+                                 - cR_patch[idx]), axis=-1)
+        good8 = (ok8 & (sad_l8 <= params.sad_max_distance)
+                 & (sad_r8 <= params.sad_max_distance))
+        cost8 = jnp.where(good8, sad_l8 + sad_r8, _BIG)
+        j = jnp.argmin(cost8, axis=1)
+        best_d = jnp.take_along_axis(cost8, j[:, None], 1)[:, 0]
+        best_c = jnp.take_along_axis(idx, j[:, None], 1)[:, 0].astype(jnp.int32)
+        cand_ok = best_d < _BIG
+        survive = _arbitrate_right(best_c, best_d, cand_ok, K, keep_best=True)
+        return _finish(prev_left, pR_xy, cur_left, cR_xy, best_c, survive,
+                       params, key, ransac_iters, ransac_threshold)
 
     D = jnp.where(pair_ok & side_ok, cost, _BIG)
     best_c = jnp.argmin(D, axis=1).astype(jnp.int32)

@@ -47,12 +47,40 @@ def sad_matrix_mxu(patches_a: jnp.ndarray, patches_b: jnp.ndarray) -> jnp.ndarra
     validated in tests/test_kernels.py.
     """
     P = patches_a.shape[1]
+    return jnp.sqrt(ssd_matrix(patches_a, patches_b) * (P * 2.0 / jnp.pi))
+
+
+def ssd_matrix(patches_a: jnp.ndarray, patches_b: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs squared-L2 patch distance via one MXU matmul."""
     ab = lax.dot_general(patches_a, patches_b, (((1,), (1,)), ((), ())),
                          precision=lax.Precision.HIGHEST)
     na = jnp.sum(patches_a * patches_a, axis=-1)
     nb = jnp.sum(patches_b * patches_b, axis=-1)
-    ssd = jnp.maximum(na[:, None] + nb[None, :] - 2.0 * ab, 0.0)
-    return jnp.sqrt(ssd * (P * 2.0 / jnp.pi))
+    return jnp.maximum(na[:, None] + nb[None, :] - 2.0 * ab, 0.0)
+
+
+def sad_topk_refine(patches_a: jnp.ndarray, patches_b: jnp.ndarray,
+                    pair_ok: jnp.ndarray, k: int = 8):
+    """Coarse-to-fine all-pairs SAD: MXU squared-L2 shortlist + exact SAD.
+
+    The [Ka,Kb] candidate field is ranked by the matmul-based squared-L2
+    distance (sad_matrix_mxu rationale) — the O(Ka*Kb*P) work the MXU eats —
+    and only the top-k shortlist per left feature is re-scored with the EXACT
+    abs-diff SAD (O(Ka*k*P) on the VPU).  Downstream acceptance (thresholds,
+    ratio test) therefore keeps exact-SAD semantics; only candidates the
+    coarse metric ranks below the top-k are lost (pure-SSD ranking measurably
+    degrades matching at KITTI motion scales — 0.75 vs 0.22 ATE on the bench
+    scene — while the refined form is ATE-neutral).
+
+    Returns (idx [Ka,k] int32 right indices, sad [Ka,k] f32 exact SADs,
+    ok [Ka,k] bool shortlist validity).  pair_ok gates eligibility.
+    """
+    ssd = jnp.where(pair_ok, ssd_matrix(patches_a, patches_b), jnp.inf)
+    neg, idx = lax.top_k(-ssd, k)                    # [Ka,k]
+    ok = jnp.isfinite(neg)
+    cand = patches_b[idx]                            # [Ka,k,P] gather
+    sad = jnp.sum(jnp.abs(patches_a[:, None, :] - cand), axis=-1)
+    return idx.astype(jnp.int32), sad, ok
 
 
 def hamming_matrix_jnp(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:

@@ -77,6 +77,39 @@ class TestDistanceKernels:
             Dsad[true_idx, true_idx], 1e-6)
         assert 0.8 < np.median(ratio) < 1.25
 
+    def test_shortlist_match_equals_dense(self, rng):
+        """stereo match via the coarse-to-fine MXU shortlist must agree with
+        the dense exact-SAD path on almost every slot."""
+        import jax.numpy as jnp
+
+        from rso.config import LeftRightMatchParams
+        from rso.frontend.detect import Features
+        from rso.frontend.stereo_match import match_left_right
+
+        K = 256
+        W = 640
+        xy_l = np.stack([rng.uniform(20, W - 20, K),
+                         rng.uniform(10, 230, K)], -1).astype(np.float32)
+        disp = rng.uniform(5, 60, K).astype(np.float32)
+        xy_r = xy_l - np.stack([disp, np.zeros(K, np.float32)], -1)
+        base = rng.normal(128, 40, (K, 64)).astype(np.float32)
+
+        def feats(xy, patch):
+            return Features(xy=jnp.asarray(xy),
+                            response=jnp.ones((K,), jnp.float32),
+                            valid=jnp.ones((K,), bool),
+                            desc=jnp.zeros((K, 8), jnp.uint32),
+                            patch=jnp.asarray(patch))
+
+        fl = feats(xy_l, base)
+        fr = feats(xy_r, base + rng.normal(0, 2, base.shape).astype(np.float32))
+        params = LeftRightMatchParams()
+        m_dense = match_left_right(fl, fr, params, W, 0.0, use_mxu=False)
+        m_short = match_left_right(fl, fr, params, W, 0.0, use_mxu=True)
+        agree = np.mean(np.asarray(m_dense.ridx) == np.asarray(m_short.ridx))
+        assert agree > 0.97
+        assert int(np.asarray(m_short.valid).sum()) > K * 0.5
+
     def test_mxu_distance_zero_diag(self, patches):
         from rso.kernels.distance import sad_matrix_mxu
 
