@@ -320,6 +320,7 @@ def bundle_adjust(
     rel_meas=None,
     rel_w_rot: float = 0.0,
     rel_w_trans: float = 0.0,
+    marg_prior=None,
 ) -> BAResult:
     """Levenberg-Marquardt BA over the window as one lax.while_loop program.
 
@@ -327,9 +328,20 @@ def bundle_adjust(
     consecutive keyframe pair is softly anchored to its VO-measured relative
     transform (see relpose_prior_terms).  Weights are inverse variances in
     (rad, m) against 1-px reprojection noise.
+
+    marg_prior: optional (H [P,6,P,6], b [P,6], lin [P,6]) marginalization
+    prior from keyframe eviction (rso.ba.marginalization / SlidingWindow
+    .prior_terms): cost += 0.5 dx^T H dx - b^T dx with dx = poses - lin;
+    its Hessian adds to the reduced camera system, its gradient b - H dx to
+    the reduced gradient.
     """
     lmk_valid = jnp.any(prob.mask, axis=0)
     use_prior = rel_meas is not None and (rel_w_rot > 0 or rel_w_trans > 0)
+    use_marg = marg_prior is not None
+    if use_marg:
+        mH, mb, mlin = (jnp.asarray(a, prob.poses.dtype) for a in marg_prior)
+        nP = prob.poses.shape[0]
+        mHf = mH.reshape(nP * 6, nP * 6)
 
     def eval_cost(poses, lmks):
         pix, _, _ = _project_grid(cam, poses, lmks)
@@ -345,6 +357,9 @@ def bundle_adjust(
                 jnp.full((3,), rel_w_trans, poses.dtype)])
             e = _relpose_residuals(poses, rel_meas)
             cost = cost + 0.5 * jnp.sum(e * e * W[None, :])
+        if use_marg:
+            dx = (poses - mlin).reshape(-1)
+            cost = cost + 0.5 * dx @ (mHf @ dx) - mb.reshape(-1) @ dx
         return cost
 
     def cond(carry):
@@ -362,6 +377,13 @@ def bundle_adjust(
             H_pr, g_pr, _c_pr = relpose_prior_terms(
                 poses, rel_meas, rel_w_rot, rel_w_trans)
             prior = (H_pr, g_pr)
+        if use_marg:
+            dx = (poses - mlin).reshape(-1)
+            g_m = (mb.reshape(-1) - mHf @ dx).reshape(poses.shape)
+            if prior is None:
+                prior = (mH, g_m)
+            else:
+                prior = (prior[0] + mH, prior[1] + g_m)
         dpose, dlmk = _schur_solve(g_p, g_l, H_pp, H_ll, H_pl, lam,
                                    fix_first, lmk_valid, prior=prior)
         new_poses = poses + dpose

@@ -96,13 +96,16 @@ class VOWithBA:
                  min_kf_gap: int = 3, max_correction: float = 0.15,
                  max_rot_correction: float = 0.0035,
                  rel_w_rot: float = 4.0e2, rel_w_trans: float = 25.0,
-                 min_obs: int = 2, two_view_weight: float = 0.2):
+                 min_obs: int = 2, two_view_weight: float = 0.2,
+                 marginalize: bool = False):
         self.engine = Engine(cfg, cam)
         self.cfg = cfg
         self.cam = cam
         self.window = SlidingWindow(max_keyframes, max_landmarks,
                                     min_obs=min_obs,
-                                    two_view_weight=two_view_weight)
+                                    two_view_weight=two_view_weight,
+                                    marginalize=marginalize, cam=cam,
+                                    marg_rel_w=(rel_w_rot, rel_w_trans))
         self.ba_iters = ba_iters
         self.mesh = mesh
         self.min_tracked_ratio = min_tracked_ratio
@@ -174,7 +177,9 @@ class VOWithBA:
                                             max_iters=self.ba_iters,
                                             rel_meas=rel,
                                             rel_w_rot=self.rel_w_rot,
-                                            rel_w_trans=self.rel_w_trans)
+                                            rel_w_trans=self.rel_w_trans,
+                                            marg_prior=self.window
+                                            .prior_terms())
                     ba_cost = float(out.cost)
                     refined_poses = np.asarray(out.poses)
                     refined = self.window.apply_result(refined_poses)

@@ -21,6 +21,16 @@ from rso.ba.ba import BAProblem
 from rso.geometry.stereo_camera import StereoCamera
 
 
+def _pose6_of(T_wc: np.ndarray) -> np.ndarray:
+    """world->cam (rotvec, t) 6-vector from a camera-to-world matrix."""
+    from scipy.spatial.transform import Rotation
+
+    R_cw = np.asarray(T_wc, np.float64)[:3, :3].T
+    t_cw = -R_cw @ np.asarray(T_wc, np.float64)[:3, 3]
+    return np.concatenate([Rotation.from_matrix(R_cw).as_rotvec(),
+                           t_cw]).astype(np.float32)
+
+
 class KeyframeObs(NamedTuple):
     """One keyframe's contribution: stereo observations keyed by match ID."""
 
@@ -33,7 +43,10 @@ class KeyframeObs(NamedTuple):
 
 class SlidingWindow:
     def __init__(self, max_keyframes: int = 8, max_landmarks: int = 1024,
-                 min_obs: int = 2, two_view_weight: float = 0.2):
+                 min_obs: int = 2, two_view_weight: float = 0.2,
+                 marginalize: bool = False, cam: StereoCamera | None = None,
+                 marg_rel_w: tuple[float, float] = (0.0, 0.0),
+                 kernel_param: float = 3.0):
         self.W = max_keyframes
         self.L = max_landmarks
         self.min_obs = min_obs  # KFs that must observe a landmark for a slot
@@ -41,12 +54,49 @@ class SlidingWindow:
         # problem on straight runs) but down-weighted: during fast rotation
         # their triangulation noise dominates and biases the window rotation
         self.two_view_weight = two_view_weight
+        # marginalization-on-eviction (BASELINE configs[3]): evicted pose +
+        # dying landmarks become a Gaussian prior over the remaining poses
+        # instead of being dropped (rso.ba.marginalization)
+        self.marginalize = marginalize
+        self.cam = cam
+        self.marg_rel_w = marg_rel_w
+        self.kernel_param = kernel_param
+        self.prior = None  # MargPrior | None, covers keyframes[:prior.n]
         self.keyframes: list[KeyframeObs] = []
 
     def add_keyframe(self, kf: KeyframeObs):
         self.keyframes.append(kf)
         if len(self.keyframes) > self.W:
-            self.keyframes.pop(0)  # marginalize-by-drop (oldest out)
+            if self.marginalize and self.cam is not None:
+                from rso.ba.marginalization import marginalize_oldest
+
+                self.prior = marginalize_oldest(
+                    self.cam, self.keyframes, self.prior,
+                    min_obs=self.min_obs,
+                    two_view_weight=self.two_view_weight,
+                    kernel_param=self.kernel_param,
+                    rel_w=self.marg_rel_w)
+            self.keyframes.pop(0)  # oldest out (info kept in self.prior)
+
+    def prior_terms(self):
+        """The marginalization prior aligned to the CURRENT window: returns
+        (H [P,6,P,6], b [P,6], lin [P,6]) float32 or None.  Keyframes newer
+        than the prior (appended since the last eviction) get zero blocks;
+        their lin entry is their current pose so dx = 0 there."""
+        if self.prior is None or self.prior.n == 0:
+            return None
+        import numpy as np  # noqa: F811 (module-level np is the same)
+
+        P = len(self.keyframes)
+        n = min(self.prior.n, P)
+        H = np.zeros((P * 6, P * 6), np.float32)
+        b = np.zeros(P * 6, np.float32)
+        lin = np.stack([_pose6_of(kf.pose_wc) for kf in self.keyframes])
+        H[: n * 6, : n * 6] = self.prior.H[: n * 6, : n * 6]
+        b[: n * 6] = self.prior.b[: n * 6]
+        lin[:n] = self.prior.lin[:n]
+        return (H.reshape(P, 6, P, 6), b.reshape(P, 6),
+                lin.astype(np.float32))
 
     def __len__(self):
         return len(self.keyframes)

@@ -57,6 +57,7 @@ def main():
     variants = [
         ("2view-w0.2", dict()),
         ("2view-w0.05", dict(two_view_weight=0.05)),
+        ("marg", dict(marginalize=True)),
     ]
     for name, kw in variants:
         p, nsolve = run_ba(cfg, seq, **kw)
