@@ -92,32 +92,44 @@ def fast_corner_mask(img: jnp.ndarray, threshold: jnp.ndarray, arc: int = 12) ->
     `threshold` may be a traced scalar (the dynamic servo state).
     """
     t = threshold.astype(img.dtype)
-    neigh = jnp.stack([_shift2d(img, int(dx), int(dy)) for dx, dy in _FAST_OFFSETS])
-    bright = neigh > (img + t)[None]
-    dark = neigh < (img - t)[None]
+    hi = img + t
+    lo = img - t
+    # Bit-pack the 16 circle comparisons into one uint32 plane per polarity:
+    # bit i of bright[y,x] says circle-pixel i is brighter than center+t.
+    # ~3x less HBM traffic than materializing a [16,H,W] stack.
+    bright = jnp.zeros(img.shape, jnp.uint32)
+    dark = jnp.zeros(img.shape, jnp.uint32)
+    for i, (dx, dy) in enumerate(_FAST_OFFSETS):
+        n = _shift2d(img, int(dx), int(dy))
+        bit = jnp.uint32(1 << i)
+        bright = bright | jnp.where(n > hi, bit, jnp.uint32(0))
+        dark = dark | jnp.where(n < lo, bit, jnp.uint32(0))
+
+    def rotl16(b, s):
+        s = s % 16
+        if s == 0:
+            return b & jnp.uint32(0xFFFF)
+        return ((b << s) | (b >> (16 - s))) & jnp.uint32(0xFFFF)
 
     def has_arc(b):
-        # run-length doubling on the circular 16-axis: R_{2k}[i] = R_k[i] &
-        # R_k[i+k]; compose R_arc from powers of two.  O(log arc) vector ANDs
-        # instead of 16*arc.
-        def rot(x, s):
-            return jnp.roll(x, -s, axis=0)
-
+        # run-length doubling on the circular 16-bit word: R_{2k} = R_k &
+        # rotl(R_k, k) marks a run of 2k set bits ending at each position;
+        # compose R_arc from powers of two.  O(log arc) integer ops per pixel.
         runs = {1: b}
         k = 1
         while 2 * k <= arc:
-            runs[2 * k] = runs[k] & rot(runs[k], k)
+            runs[2 * k] = runs[k] & rotl16(runs[k], k)
             k *= 2
         need = arc
         acc = None
         offset = 0
         for p in sorted(runs, reverse=True):
             while need >= p:
-                term = rot(runs[p], offset)
+                term = rotl16(runs[p], offset)
                 acc = term if acc is None else (acc & term)
                 offset += p
                 need -= p
-        return jnp.any(acc, axis=0)
+        return acc != 0
 
     corner = has_arc(bright) | has_arc(dark)
     # zero out the 3px wrap-around border introduced by roll
