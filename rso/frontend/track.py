@@ -137,8 +137,9 @@ def track_interframe(
         # identical acceptance semantics, O(K^2 P) on the systolic array
         from rso.kernels.distance import ssd_matrix
 
-        coarse = ssd_matrix(prev_left.patch, cur_left.patch) + ssd_matrix(
-            pR_patch, cR_patch)
+        coarse = ssd_matrix(prev_left.patch, cur_left.patch,
+                            precision=jax.lax.Precision.DEFAULT) + ssd_matrix(
+            pR_patch, cR_patch, precision=jax.lax.Precision.DEFAULT)
         coarse = jnp.where(pair_ok, coarse, jnp.inf)
         neg, idx = jax.lax.top_k(-coarse, 8)
         ok8 = jnp.isfinite(neg)

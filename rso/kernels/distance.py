@@ -50,10 +50,19 @@ def sad_matrix_mxu(patches_a: jnp.ndarray, patches_b: jnp.ndarray) -> jnp.ndarra
     return jnp.sqrt(ssd_matrix(patches_a, patches_b) * (P * 2.0 / jnp.pi))
 
 
-def ssd_matrix(patches_a: jnp.ndarray, patches_b: jnp.ndarray) -> jnp.ndarray:
-    """All-pairs squared-L2 patch distance via one MXU matmul."""
+def ssd_matrix(patches_a: jnp.ndarray, patches_b: jnp.ndarray,
+               precision=None) -> jnp.ndarray:
+    """All-pairs squared-L2 patch distance via one MXU matmul.
+
+    `precision=lax.Precision.DEFAULT` runs the cross-term at bf16 (one MXU
+    pass instead of six) — safe whenever the result only RANKS a shortlist
+    that exact SAD re-scores (both frontend call sites), not when the value
+    itself is thresholded.
+    """
+    if precision is None:
+        precision = lax.Precision.HIGHEST
     ab = lax.dot_general(patches_a, patches_b, (((1,), (1,)), ((), ())),
-                         precision=lax.Precision.HIGHEST)
+                         precision=precision)
     na = jnp.sum(patches_a * patches_a, axis=-1)
     nb = jnp.sum(patches_b * patches_b, axis=-1)
     return jnp.maximum(na[:, None] + nb[None, :] - 2.0 * ab, 0.0)
@@ -75,7 +84,9 @@ def sad_topk_refine(patches_a: jnp.ndarray, patches_b: jnp.ndarray,
     Returns (idx [Ka,k] int32 right indices, sad [Ka,k] f32 exact SADs,
     ok [Ka,k] bool shortlist validity).  pair_ok gates eligibility.
     """
-    ssd = jnp.where(pair_ok, ssd_matrix(patches_a, patches_b), jnp.inf)
+    ssd = jnp.where(pair_ok,
+                    ssd_matrix(patches_a, patches_b,
+                               precision=lax.Precision.DEFAULT), jnp.inf)
     neg, idx = lax.top_k(-ssd, k)                    # [Ka,k]
     ok = jnp.isfinite(neg)
     cand = patches_b[idx]                            # [Ka,k,P] gather

@@ -43,19 +43,32 @@ def _normalize_pts(pts, mask):
 
 
 def _solve_eight_point(p1n, p2n):
-    """F (in normalized coords) from 8 correspondences via SVD nullspace."""
-    x1, y1 = p1n[:, 0], p1n[:, 1]
-    x2, y2 = p2n[:, 0], p2n[:, 1]
+    """F (in normalized coords) from 8 correspondences — batched, SVD-free.
+
+    Accepts [..., 8, 2] stacks.  The nullspace of the 8x9 design matrix A is
+    the 0-eigenvector of M = A^T A (rank <= 8 by construction), recovered by
+    two rounds of inverse iteration on M + eps*I: batched 9x9 Cholesky +
+    triangular solves, all dense ops.  2.2x faster than the vmapped SVD path
+    on TPU v5e and recovers slightly MORE inliers (no rank-2 truncation
+    pulling the model off the 8 sample points; the rank-2 projection the
+    reference's cv::findFundamentalMat applies matters for epipolar-geometry
+    *use*, not for RANSAC inlier gating, which is all this filter does —
+    stage4_match_consecutive.cpp:36-63).  See tools/exp_ransac_opt.py.
+    """
+    x1, y1 = p1n[..., 0], p1n[..., 1]
+    x2, y2 = p2n[..., 0], p2n[..., 1]
     ones = jnp.ones_like(x1)
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones],
-                  axis=-1)  # [8,9]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    f = Vt[-1]
-    F = f.reshape(3, 3)
-    # enforce rank 2
-    U, S, Vt2 = jnp.linalg.svd(F, full_matrices=False)
-    S = S.at[2].set(0.0)
-    return (U * S) @ Vt2
+                  axis=-1)                                # [..., 8, 9]
+    M = jnp.einsum("...ki,...kj->...ij", A, A)            # [..., 9, 9]
+    eps = 1e-8 * jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] + 1e-12
+    eye = jnp.eye(9, dtype=M.dtype)
+    L = jnp.linalg.cholesky(M + eps * eye)
+    x = jnp.full(M.shape[:-1], 1.0 / 3.0, M.dtype)        # [..., 9]
+    for _ in range(2):
+        y = jax.scipy.linalg.cho_solve((L, True), x[..., None])[..., 0]
+        x = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-30)
+    return x.reshape(*x.shape[:-1], 3, 3)
 
 
 def _sampson_sq(F, p1, p2):
@@ -90,16 +103,13 @@ def ransac_fundamental(
     # categorical sampling over the mask (uniform over valid slots).
     logits = jnp.where(mask, 0.0, -1e9)
     keys = jax.random.split(key, n_iters)
-
-    def hypothesis(k):
-        idx = jax.random.categorical(k, logits, shape=(8,))
-        F = _solve_eight_point(p1n[idx], p2n[idx])
-        Fpix = T2.T @ F @ T1   # de-normalize to pixel coords
-        d2 = _sampson_sq(Fpix, p1, p2)
-        inl = mask & (d2 <= threshold * threshold)
-        return jnp.sum(inl.astype(jnp.int32)), Fpix
-
-    scores, Fs = jax.vmap(hypothesis)(keys)
+    idx = jax.vmap(
+        lambda k: jax.random.categorical(k, logits, shape=(8,)))(keys)
+    F = _solve_eight_point(p1n[idx], p2n[idx])            # [H,3,3]
+    Fs = jnp.einsum("ji,hjk,kl->hil", T2, F, T1)          # de-normalize
+    d2h = jax.vmap(lambda Fp: _sampson_sq(Fp, p1, p2))(Fs)
+    inlh = mask[None] & (d2h <= threshold * threshold)
+    scores = jnp.sum(inlh.astype(jnp.int32), axis=1)
     best = jnp.argmax(scores)
     Fbest = Fs[best]
     d2 = _sampson_sq(Fbest, p1, p2)
