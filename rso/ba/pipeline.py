@@ -28,18 +28,20 @@ def keyframe_obs_from_state(state: EngineState, cfg: RSOConfig,
     """Extract the current frame's stereo observations + match IDs from the
     engine state (state.prev holds the just-processed frame).
 
-    obs_outlier: optional flat [O*K] bool from StepResult — current-frame
+    obs_outlier: optional flat [sum(K_o)] bool from StepResult — current-frame
     match slots whose track was rejected by the pose solve; those
     observations are excluded so aliased landmarks never enter the window.
     """
-    K = cfg.tpu.max_kps_per_octave
     ids_all, obs_all = [], []
+    off = 0
     for o, oct_data in enumerate(state.prev.octaves):
         scale = float(2 ** o)
         shift = (scale - 1.0) / 2.0
         valid = np.asarray(oct_data.matches.valid)
+        k_o = valid.shape[0]
         if obs_outlier is not None:
-            valid = valid & ~np.asarray(obs_outlier)[o * K:(o + 1) * K]
+            valid = valid & ~np.asarray(obs_outlier)[off:off + k_o]
+        off += k_o
         ids = np.asarray(oct_data.match_ids)[valid]
         lxy = np.asarray(oct_data.left.xy)[valid] * scale + shift
         ridx = np.asarray(oct_data.matches.ridx)[valid]

@@ -190,6 +190,11 @@ class TPUParams:
 
     max_kps_per_octave: int = 512      # K: feature slots per image per octave
     max_tracks: int = 1024             # T: flat tracked-pair slots entering stage 5
+    # Shrink per-octave slot capacities to the octave budget (rounded up to a
+    # 128 lane multiple): the budget halves per octave, so uniform K wastes
+    # ~60% of the stereo-match / tracking distance-matrix work on slots the
+    # budget gate always empties.  frontend.detect.octave_k_slots.
+    octave_slot_decay: bool = True
     ransac_iters: int = 64             # fixed hypothesis count (replaces cv::FM_RANSAC)
     ransac_threshold: float = 1.0      # epipolar (Sampson) inlier distance, px
     fast_arc: int = 12                 # FAST-N contiguous arc (FASTER-12 equivalent)

@@ -34,6 +34,7 @@ from rso.frontend.detect import (
     Features,
     detect_features,
     octave_budget,
+    octave_k_slots,
     update_fast_threshold,
 )
 from rso.frontend.pyramid import build_pyramid, to_grayscale
@@ -130,7 +131,8 @@ def _empty_octave(k: int) -> OctaveData:
 
 def init_state(cfg: RSOConfig, img_hw: tuple | None = None) -> EngineState:
     O = cfg.n_octaves
-    K = cfg.tpu.max_kps_per_octave
+    Ks = octave_k_slots(cfg.detect.orb_nfeats, O, cfg.tpu.max_kps_per_octave,
+                        cfg.tpu.octave_slot_decay)
     pyr_l = pyr_r = ()
     if cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
         if img_hw is None:
@@ -140,7 +142,7 @@ def init_state(cfg: RSOConfig, img_hw: tuple | None = None) -> EngineState:
         pyr_l = tuple(jnp.zeros(s_, jnp.float32) for s_ in shapes)
         pyr_r = tuple(jnp.zeros(s_, jnp.float32) for s_ in shapes)
     return EngineState(
-        prev=FrameView(octaves=tuple(_empty_octave(K) for _ in range(O))),
+        prev=FrameView(octaves=tuple(_empty_octave(k) for k in Ks)),
         prev_pyr_l=pyr_l,
         prev_pyr_r=pyr_r,
         have_prev=jnp.bool_(False),
@@ -207,6 +209,11 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
     O = cfg.n_octaves
     K = cfg.tpu.max_kps_per_octave
     budgets = octave_budget(cfg.detect.orb_nfeats, O)
+    Ks = octave_k_slots(cfg.detect.orb_nfeats, O, K,
+                        cfg.tpu.octave_slot_decay)
+    offs = [0]
+    for _k in Ks:
+        offs.append(offs[-1] + _k)
     from rso.config import StereoMatchMethod
     need_desc = (
         cfg.detect.detect_method in (DetectMethod.ORB, DetectMethod.FAST_ORB)
@@ -249,16 +256,16 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         detected = []
         for o in range(O):
             th = state.fast_th[o]
-            fl = detect_features(pyr_l[o], cfg.detect, K, th, need_desc,
+            fl = detect_features(pyr_l[o], cfg.detect, Ks[o], th, need_desc,
                                  arc=cfg.tpu.fast_arc,
                                  use_pallas_detect=cfg.tpu.use_pallas_detect,
                                  interpret_pallas=cfg.tpu.interpret_pallas)
-            fr = detect_features(pyr_r[o], cfg.detect, K, th, need_desc,
+            fr = detect_features(pyr_r[o], cfg.detect, Ks[o], th, need_desc,
                                  arc=cfg.tpu.fast_arc,
                                  use_pallas_detect=cfg.tpu.use_pallas_detect,
                                  interpret_pallas=cfg.tpu.interpret_pallas)
             # octave budget: keep only the strongest budget[o] slots
-            slot_ok = jnp.arange(K) < budgets[o]
+            slot_ok = jnp.arange(Ks[o]) < budgets[o]
             fl = fl._replace(valid=fl.valid & slot_ok)
             fr = fr._replace(valid=fr.valid & slot_ok)
             octs.append((fl, fr))
@@ -285,7 +292,8 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
                                  interpret_pallas=cfg.tpu.interpret_pallas,
                                  use_mxu=cfg.tpu.use_mxu_distance)
             cur_octs.append(OctaveData(left=fl, right=fr, matches=m,
-                                       match_ids=jnp.full((K,), -1, jnp.int32)))
+                                       match_ids=jnp.full((Ks[o],), -1,
+                                                          jnp.int32)))
             n_matches.append(jnp.sum(m.valid.astype(jnp.int32)))
         return cur_octs, n_matches
 
@@ -296,7 +304,7 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
                         for fl, fr in octs]
             cur_octs = [OctaveData(left=octs[o][0], right=octs[o][1],
                                    matches=matches[o],
-                                   match_ids=jnp.full((K,), -1, jnp.int32))
+                                   match_ids=jnp.full((Ks[o],), -1, jnp.int32))
                         for o in range(O)]
             n_matches = [jnp.sum(m.valid.astype(jnp.int32)) for m in matches]
             pyr_l = pyr_r = None
@@ -419,7 +427,8 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
             resp_l.append(p.left.response)
             mask_l.append(trk.valid)
             # octave-o pixel noise is 2^o x larger at full-res: weight 1/4^o
-            w_l.append(jnp.full((K,), 1.0 / (scale * scale), jnp.float32))
+            w_l.append(jnp.full((Ks[o],), 1.0 / (scale * scale),
+                                jnp.float32))
 
         prev_obs = jnp.concatenate(prev_obs_l)   # [T,4]
         cur_obs = jnp.concatenate(cur_obs_l)
@@ -453,15 +462,15 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         for o in range(O):
             p = state.prev.octaves[o]
             c = cur_octs[o]
-            trk_ok = tmask[o * K:(o + 1) * K]
+            trk_ok = tmask[offs[o]:offs[o + 1]]
             trk_idx = tracks[o].cur_idx
             # scatter prev ids to tracked cur slots; invalid entries scatter
             # out of bounds (index K) and are dropped
-            tgt = jnp.where(trk_ok, trk_idx, K)
+            tgt = jnp.where(trk_ok, trk_idx, Ks[o])
             tgts.append(tgt)
-            tracked_mask_cur = jnp.zeros((K,), jnp.bool_).at[tgt].set(
+            tracked_mask_cur = jnp.zeros((Ks[o],), jnp.bool_).at[tgt].set(
                 True, mode="drop")
-            prop_ids = jnp.full((K,), -1, jnp.int32).at[tgt].set(
+            prop_ids = jnp.full((Ks[o],), -1, jnp.int32).at[tgt].set(
                 p.match_ids, mode="drop")
             ids, last_id = _assign_new_ids(
                 c.matches.valid, tracked_mask_cur, prop_ids, last_id)
@@ -491,8 +500,8 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         # short-lifetime window solves)
         outlier_prev = smask & ~sol.inliers
         obs_outlier = jnp.concatenate([
-            jnp.zeros((K,), jnp.bool_).at[tgts[o]].set(
-                outlier_prev[o * K:(o + 1) * K], mode="drop")
+            jnp.zeros((Ks[o],), jnp.bool_).at[tgts[o]].set(
+                outlier_prev[offs[o]:offs[o + 1]], mode="drop")
             for o in range(O)])
 
         # ---- error codes & result -------------------------------------------
@@ -665,7 +674,7 @@ class Engine:
         by the SLAM layer to re-key matches after loop closure)."""
         assert self.state is not None
         ids = np.asarray(ids, np.int32)
-        K = self.cfg.tpu.max_kps_per_octave
+        K = self.state.prev.octaves[0].match_ids.shape[0]
         oct0 = self.state.prev.octaves[0]
         new_ids = jnp.full((K,), -1, jnp.int32).at[: len(ids)].set(
             jnp.asarray(ids[:K]))
@@ -688,13 +697,15 @@ class Engine:
         if self.cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
             raise ValueError("precomputed-data injection requires a "
                              "descriptor/SAD tracking mode")
-        K = self.cfg.tpu.max_kps_per_octave
         O = self.cfg.n_octaves
+        Ks = octave_k_slots(self.cfg.detect.orb_nfeats, O,
+                            self.cfg.tpu.max_kps_per_octave,
+                            self.cfg.tpu.octave_slot_decay)
         h, w = img_hw
         if self.state is None:
             self.state = init_state(self.cfg, (h, w))
 
-        def to_features(f) -> Features:
+        def to_features(f, K) -> Features:
             if isinstance(f, Features):
                 return f
             xy = np.asarray(f["xy"], np.float32)
@@ -717,7 +728,8 @@ class Engine:
                         np.asarray(f["patch"], np.float32)[:n]))
             return out
 
-        octs = tuple((to_features(feats_left[o]), to_features(feats_right[o]))
+        octs = tuple((to_features(feats_left[o], Ks[o]),
+                      to_features(feats_right[o], Ks[o]))
                      for o in range(O))
         if matches is None:
             step = self._get_step(h, w, precomputed="feats")
@@ -727,13 +739,13 @@ class Engine:
             for o in range(O):
                 li, ri = matches[o]
                 m = StereoMatches(
-                    ridx=jnp.full((K,), -1, jnp.int32),
-                    dist=jnp.zeros((K,), jnp.float32),
-                    valid=jnp.zeros((K,), jnp.bool_),
+                    ridx=jnp.full((Ks[o],), -1, jnp.int32),
+                    dist=jnp.zeros((Ks[o],), jnp.float32),
+                    valid=jnp.zeros((Ks[o],), jnp.bool_),
                 )
                 li = np.asarray(li, np.int64)
                 ri = np.asarray(ri, np.int64)
-                keep = (li < K) & (ri < K)
+                keep = (li < Ks[o]) & (ri < Ks[o])
                 m = m._replace(
                     ridx=m.ridx.at[li[keep]].set(ri[keep].astype(np.int32)),
                     valid=m.valid.at[li[keep]].set(True),

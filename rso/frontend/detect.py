@@ -372,6 +372,20 @@ def octave_budget(orb_nfeats: int, n_octaves: int) -> list[int]:
     return [max(1, int(round(k0 / 2 ** o))) for o in range(n_octaves)]
 
 
+def octave_k_slots(orb_nfeats: int, n_octaves: int, k_max: int,
+                   decay: bool = True) -> list[int]:
+    """Per-octave feature-slot capacities.
+
+    The budget halves per octave, so uniform slot counts waste most of the
+    [K,K] distance-matrix / tracking work at octaves > 0 on slots the budget
+    gate empties anyway.  Each octave gets the smallest lane-aligned (x128)
+    capacity covering its budget, capped at k_max."""
+    if not decay:
+        return [k_max] * n_octaves
+    return [min(k_max, max(128, -(-b // 128) * 128))
+            for b in octave_budget(orb_nfeats, n_octaves)]
+
+
 def detect_features(
     img: jnp.ndarray,
     params: DetectParams,

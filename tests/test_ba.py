@@ -338,12 +338,14 @@ class TestObsOutlierGating:
         # gated set is a subset of the ungated set
         assert set(kf_gated.ids.tolist()) <= set(kf_all.ids.tolist())
         # count the flagged slots that would otherwise have contributed
-        K = cfg.tpu.max_kps_per_octave
         dropped = 0
-        for o, od in enumerate(eng.state.prev.octaves):
+        off = 0
+        for od in eng.state.prev.octaves:
             valid = np.asarray(od.matches.valid)
             ids = np.asarray(od.match_ids)
-            flag = outlier[o * K:(o + 1) * K]
+            k_o = valid.shape[0]
+            flag = outlier[off:off + k_o]
+            off += k_o
             dropped += int(np.sum(valid & flag & (ids >= 0)))
         assert len(kf_all.ids) - len(kf_gated.ids) == dropped
 
@@ -362,9 +364,11 @@ class TestObsOutlierGating:
         n_flag = int(np.sum(np.asarray(res.obs_outlier)))
         assert n_flag <= n_out_prev
         # flagged slots are real current matches
-        K = eng.cfg.tpu.max_kps_per_octave
-        for o, od in enumerate(eng.state.prev.octaves):
-            flag = np.asarray(res.obs_outlier)[o * K:(o + 1) * K]
+        off = 0
+        for od in eng.state.prev.octaves:
+            k_o = np.asarray(od.matches.valid).shape[0]
+            flag = np.asarray(res.obs_outlier)[off:off + k_o]
+            off += k_o
             assert np.all(~flag | np.asarray(od.matches.valid))
 
 
