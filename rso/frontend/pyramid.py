@@ -55,17 +55,28 @@ def bilinear_remap(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray) -> 
     return jnp.where(valid, out, 0.0)
 
 
+def _pool_matrix(n: int) -> jnp.ndarray:
+    """[n//2, n] matrix averaging adjacent element pairs (rows sum to 1)."""
+    import numpy as np
+
+    D = np.zeros((n // 2, n), np.float32)
+    idx = np.arange(n // 2)
+    D[idx, 2 * idx] = 0.5
+    D[idx, 2 * idx + 1] = 0.5
+    return jnp.asarray(D)
+
+
 def downsample2x(img: jnp.ndarray) -> jnp.ndarray:
     """2x2 average-pool halving (the pyramid step).
 
     buildPyramidFast smooths+subsamples; a 2x2 mean is the standard
-    anti-aliased equivalent.  The reshape/mean form measures ~4x faster than
-    strided slicing on TPU v5e (strided loads defeat the lane layout).
+    anti-aliased equivalent.  Computed as two pooling matmuls
+    (D_H @ img @ D_W^T) so the reduction rides the MXU: measured fastest on
+    v5e vs reshape-mean (~1.6x), reduce_window, and strided adds (13x),
+    bit-identical results (tools/exp_pyramid.py).
     """
     H, W = img.shape
-    H2, W2 = H // 2, W // 2
-    a = img[: H2 * 2, : W2 * 2]
-    return a.reshape(H2, 2, W2, 2).mean(axis=(1, 3))
+    return (_pool_matrix(H) @ img) @ _pool_matrix(W).T
 
 
 def build_pyramid(img: jnp.ndarray, n_octaves: int) -> list[jnp.ndarray]:
