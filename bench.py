@@ -19,7 +19,7 @@ REFERENCE_FPS_ESTIMATE = 20.0
 def main():
     from rso.cli.bench import run_bench
 
-    out = run_bench(n_frames=40, n_points=2000, width=1241, height=376,
+    out = run_bench(n_frames=120, n_points=2000, width=1241, height=376,
                     repeat_passes=4)
     line = {
         "metric": "vo_frames_per_sec_per_chip_kitti_size",

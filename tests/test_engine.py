@@ -115,6 +115,27 @@ class TestEngineE2E:
         r2 = eng.process_frame(*seq.frames[1])
         assert bool(r2.valid)
 
+    def test_process_chunk_matches_sequential(self, seq):
+        """process_chunk (one-dispatch lax.scan) must evolve state and emit
+        results identically to sequential process_frame calls."""
+        import jax.numpy as jnp
+
+        eng1 = Engine(synthetic_config(), seq.cam)
+        eng2 = Engine(synthetic_config(), seq.cam)
+        n = 4
+        seq_results = [eng1.process_frame(l, r) for l, r in seq.frames[:n]]
+        lefts = jnp.stack([jnp.asarray(l) for l, _ in seq.frames[:n]])
+        rights = jnp.stack([jnp.asarray(r) for _, r in seq.frames[:n]])
+        chunk = eng2.process_chunk(lefts, rights)
+        for k in range(n):
+            np.testing.assert_array_equal(np.asarray(seq_results[k].pose),
+                                          np.asarray(chunk.pose[k]))
+            assert bool(chunk.valid[k]) == bool(seq_results[k].valid)
+        # internal state must match too (next frame behaves the same)
+        r1 = eng1.process_frame(*seq.frames[n])
+        r2 = eng2.process_frame(*seq.frames[n])
+        np.testing.assert_array_equal(np.asarray(r1.pose), np.asarray(r2.pose))
+
     def test_deterministic(self, seq):
         eng1 = Engine(synthetic_config(), seq.cam)
         eng2 = Engine(synthetic_config(), seq.cam)
