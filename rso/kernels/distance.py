@@ -87,7 +87,9 @@ def sad_topk_refine(patches_a: jnp.ndarray, patches_b: jnp.ndarray,
     ssd = jnp.where(pair_ok,
                     ssd_matrix(patches_a, patches_b,
                                precision=lax.Precision.DEFAULT), jnp.inf)
-    neg, idx = lax.top_k(-ssd, k)                    # [Ka,k]
+    # approx_max_k at recall_target=1.0 is exact top-k via the TPU
+    # PartialReduce custom call — skips the full-row sort lax.top_k emits
+    neg, idx = lax.approx_max_k(-ssd, k, recall_target=1.0)  # [Ka,k]
     ok = jnp.isfinite(neg)
     cand = patches_b[idx]                            # [Ka,k,P] gather
     sad = jnp.sum(jnp.abs(patches_a[:, None, :] - cand), axis=-1)
