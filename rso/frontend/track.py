@@ -182,15 +182,17 @@ def _finish(prev_left, pR_xy, cur_left, cR_xy, best_c, survive, params, key,
 
     if params.filter_fund_matrix:
         k1, k2 = jax.random.split(key)
-        resL = ransac_fundamental(p1_l, p2_l, survive, k1,
-                                  n_iters=ransac_iters,
-                                  threshold=ransac_threshold)
-        resR = ransac_fundamental(p1_r, p2_r, survive, k2,
-                                  n_iters=ransac_iters,
-                                  threshold=ransac_threshold)
+        # both eyes in ONE vmapped call: the per-hypothesis 9x9 Cholesky
+        # batches to [2,H,9,9] in a single custom call (~halves its cost)
+        res2 = jax.vmap(
+            lambda p1, p2, k: ransac_fundamental(
+                p1, p2, survive, k, n_iters=ransac_iters,
+                threshold=ransac_threshold)
+        )(jnp.stack([p1_l, p1_r]), jnp.stack([p2_l, p2_r]),
+          jnp.stack([k1, k2]))
         # if either model is degenerate, pass through (reference :256-259)
-        both = resL.inliers & resR.inliers
-        survive = jnp.where(resL.ok & resR.ok, both, survive)
+        both = res2.inliers[0] & res2.inliers[1]
+        survive = jnp.where(res2.ok[0] & res2.ok[1], both, survive)
 
     cur_idx = jnp.where(survive, best_c, -1)
     return TrackResult(cur_idx=cur_idx, valid=survive,
