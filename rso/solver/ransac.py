@@ -61,14 +61,22 @@ def _solve_eight_point(p1n, p2n):
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones],
                   axis=-1)                                # [..., 8, 9]
     M = jnp.einsum("...ki,...kj->...ij", A, A)            # [..., 9, 9]
-    eps = 1e-8 * jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] + 1e-12
+    # flatten ALL batch dims into one so the Cholesky lowers to a single
+    # custom call (XLA unrolls extra leading batch dims — e.g. the vmapped
+    # eye axis — into separate ~59us calls otherwise).  An unrolled in-graph
+    # f32 Cholesky was tried and is NOT robust enough here: M is rank-8 by
+    # construction, and the last pivot drowns in f32 cancellation noise on
+    # degenerate (static-scene) configurations.
+    batch_shape = M.shape[:-2]
+    M2 = M.reshape((-1, 9, 9))
+    eps = 1e-8 * jnp.trace(M2, axis1=-2, axis2=-1)[..., None, None] + 1e-12
     eye = jnp.eye(9, dtype=M.dtype)
-    L = jnp.linalg.cholesky(M + eps * eye)
-    x = jnp.full(M.shape[:-1], 1.0 / 3.0, M.dtype)        # [..., 9]
+    L = jnp.linalg.cholesky(M2 + eps * eye)
+    x = jnp.full(M2.shape[:-1], 1.0 / 3.0, M.dtype)       # [B, 9]
     for _ in range(2):
         y = jax.scipy.linalg.cho_solve((L, True), x[..., None])[..., 0]
         x = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-30)
-    return x.reshape(*x.shape[:-1], 3, 3)
+    return x.reshape(*batch_shape, 3, 3)
 
 
 def _sampson_sq(F, p1, p2):
