@@ -262,13 +262,19 @@ def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
                                                         denom, 1.0), 0.0)
             return jnp.clip(off, -0.5, 0.5)
 
-        # neighbors must be finite response (corner-masked map has -inf holes)
-        resp_f = jnp.where(jnp.isfinite(response), response, 0.0)
+        # neighbors must be finite response (corner-masked map has -inf
+        # holes); mask AFTER gathering [K] values — a dense masked copy of
+        # the whole response map costs a ~36us HBM pass per image on v5e
         xm = jnp.clip(xi - 1, 0, W - 1); xp = jnp.clip(xi + 1, 0, W - 1)
         ym = jnp.clip(yi - 1, 0, H - 1); yp = jnp.clip(yi + 1, 0, H - 1)
-        v0 = resp_f[yi, xi]
-        dx = parab(resp_f[yi, xm], v0, resp_f[yi, xp])
-        dy = parab(resp_f[ym, xi], v0, resp_f[yp, xi])
+
+        def g(yy, xx):
+            v = response[yy, xx]
+            return jnp.where(jnp.isfinite(v), v, 0.0)
+
+        v0 = g(yi, xi)
+        dx = parab(g(yi, xm), v0, g(yi, xp))
+        dy = parab(g(ym, xi), v0, g(yp, xi))
         xs = xs + jnp.where(valid, dx, 0.0)
         ys = ys + jnp.where(valid, dy, 0.0)
     xy = jnp.stack([xs, ys], axis=-1)
