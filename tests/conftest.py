@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# Some images hard-pin jax_platforms (e.g. to "axon,cpu") at import time,
+# ignoring the env var — force the config before any backend initialises.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -178,10 +178,17 @@ class TestLMMode:
         np.testing.assert_allclose(np.asarray(lm.pose), np.asarray(gn.pose),
                                    atol=5e-3)
 
-    def test_lm_survives_ill_conditioned_geometry(self, rng):
+    def test_lm_survives_ill_conditioned_geometry(self):
         """A tight distant point cluster: GN aborts on the condition guard,
-        LM (damped) must still return a usable estimate."""
+        LM (damped) must still return a usable estimate.
+
+        Uses a locally-seeded rng (not the session fixture): the assertion
+        that GN's condition guard fires holds for this specific geometry
+        draw, not for arbitrary ones.
+        """
         from rso.geometry import pose_inverse, project_stereo
+
+        rng = np.random.default_rng(0)
 
         pts = jnp.asarray(np.stack([
             rng.uniform(-0.5, 0.5, 12), rng.uniform(-0.3, 0.3, 12),
