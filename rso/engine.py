@@ -444,16 +444,17 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
             from rso.solver.ransac import ransac_fundamental
 
             kL, kR = jax.random.split(jax.random.fold_in(key, 1000))
-            resL = ransac_fundamental(
-                prev_obs[:, :2], cur_obs[:, :2], tmask, kL,
-                n_iters=cfg.tpu.ransac_iters,
-                threshold=cfg.tpu.ransac_threshold)
-            resR = ransac_fundamental(
-                prev_obs[:, 2:4], cur_obs[:, 2:4], tmask, kR,
-                n_iters=cfg.tpu.ransac_iters,
-                threshold=cfg.tpu.ransac_threshold)
-            both = resL.inliers & resR.inliers
-            tmask = jnp.where(resL.ok & resR.ok, both, tmask)
+            # both eyes in ONE vmapped call so the per-hypothesis 9x9
+            # Cholesky batches to [2,H,9,9] in a single custom call
+            res2 = jax.vmap(
+                lambda p1, p2, k: ransac_fundamental(
+                    p1, p2, tmask, k, n_iters=cfg.tpu.ransac_iters,
+                    threshold=cfg.tpu.ransac_threshold)
+            )(jnp.stack([prev_obs[:, :2], prev_obs[:, 2:4]]),
+              jnp.stack([cur_obs[:, :2], cur_obs[:, 2:4]]),
+              jnp.stack([kL, kR]))
+            both = res2.inliers[0] & res2.inliers[1]
+            tmask = jnp.where(res2.ok[0] & res2.ok[1], both, tmask)
 
         # ---- ID propagation (C20) with the POST-filter tracks ---------------
         # (false tracks must not carry landmark identity into the BA window)

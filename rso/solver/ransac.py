@@ -69,13 +69,12 @@ def _solve_eight_point(p1n, p2n):
     # degenerate (static-scene) configurations.
     batch_shape = M.shape[:-2]
     M2 = M.reshape((-1, 9, 9))
-    eps = 1e-8 * jnp.trace(M2, axis1=-2, axis2=-1)[..., None, None] + 1e-12
-    eye = jnp.eye(9, dtype=M.dtype)
-    L = jnp.linalg.cholesky(M2 + eps * eye)
-    x = jnp.full(M2.shape[:-1], 1.0 / 3.0, M.dtype)       # [B, 9]
-    for _ in range(2):
-        y = jax.scipy.linalg.cho_solve((L, True), x[..., None])[..., 0]
-        x = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-30)
+    # One fused Pallas kernel (LDL^T + inverse iteration, hypothesis batch on
+    # the VPU lanes) on TPU; regularized-Cholesky jnp path elsewhere — see
+    # rso.kernels.smallchol for the numerics discussion.
+    from rso.kernels.smallchol import nullvec9_auto
+
+    x = nullvec9_auto(M2)
     return x.reshape(*batch_shape, 3, 3)
 
 
@@ -107,12 +106,20 @@ def ransac_fundamental(
     p1n, T1 = _normalize_pts(p1, mask)
     p2n, T2 = _normalize_pts(p2, mask)
 
-    # Sample 8 valid indices per hypothesis: draw from the valid set via
-    # categorical sampling over the mask (uniform over valid slots).
-    logits = jnp.where(mask, 0.0, -1e9)
-    keys = jax.random.split(key, n_iters)
-    idx = jax.vmap(
-        lambda k: jax.random.categorical(k, logits, shape=(8,)))(keys)
+    # Sample 8 valid indices per hypothesis, uniform over valid slots:
+    # [H,8] uniform ranks into the valid set, mapped to slot indices by
+    # binary search over the mask cumsum.  (A vmapped categorical over the
+    # mask draws the same distribution but materializes [H,8,N] Gumbel
+    # noise — ~0.4 ms/frame of threefry at N=1024; this is [H,8] draws.)
+    c = jnp.cumsum(mask.astype(jnp.int32))                # [N], c[-1]=n_valid
+    ranks = jax.random.randint(key, (n_iters, 8), 0,
+                               jnp.maximum(c[-1], 1))
+    # method='compare_all': one dense [H*8, N] compare+sum on the VPU; the
+    # default binary-search lowering is a ~11-step sequential gather chain
+    # (~80us/frame at these shapes)
+    idx = jnp.searchsorted(c, ranks, side="right",
+                           method="compare_all").astype(jnp.int32)
+    idx = jnp.minimum(idx, N - 1)
     F = _solve_eight_point(p1n[idx], p2n[idx])            # [H,3,3]
     Fs = jnp.einsum("ji,hjk,kl->hil", T2, F, T1)          # de-normalize
     d2h = jax.vmap(lambda Fp: _sampson_sq(Fp, p1, p2))(Fs)

@@ -190,3 +190,47 @@ class TestFusedDetectKernel:
         for l, r in seq.frames:
             res = eng.process_frame(l, r)
         assert bool(res.valid)
+
+
+class TestNullvec9:
+    """Pallas batched 9x9 null-vector kernel vs the jnp Cholesky path."""
+
+    def _rank8(self, rng, B):
+        # M = A^T A from 8 random rows, like a RANSAC hypothesis design matrix
+        A = rng.normal(0, 1, (B, 8, 9)).astype(np.float32)
+        return jnp.asarray(np.einsum("bki,bkj->bij", A, A))
+
+    def test_matches_jnp_reference(self, rng):
+        from rso.kernels.smallchol import nullvec9_jnp, nullvec9_pallas
+
+        M = self._rank8(rng, 96)  # also exercises lane padding (96 < 128)
+        ref = np.asarray(nullvec9_jnp(M))
+        out = np.asarray(nullvec9_pallas(M, interpret=True))
+        # unit norm, and same direction up to sign
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0,
+                                   atol=1e-4)
+        cos = np.abs(np.sum(ref * out, axis=1))
+        assert cos.min() > 1.0 - 1e-3
+
+    def test_null_direction_quality(self, rng):
+        from rso.kernels.smallchol import nullvec9_pallas
+
+        M = self._rank8(rng, 64)
+        x = np.asarray(nullvec9_pallas(M, interpret=True))
+        # residual M x should be tiny relative to ||M||
+        r = np.einsum("bij,bj->bi", np.asarray(M), x)
+        rel = np.linalg.norm(r, axis=1) / np.trace(
+            np.asarray(M), axis1=1, axis2=2)
+        assert rel.max() < 1e-3
+
+    def test_degenerate_inputs_finite(self, rng):
+        from rso.kernels.smallchol import nullvec9_pallas
+
+        # rank-deficient beyond the structural null (duplicate sample rows)
+        A = rng.normal(0, 1, (32, 8, 9)).astype(np.float32)
+        A[:, 4:] = A[:, :4]  # rank 4
+        M = jnp.asarray(np.einsum("bki,bkj->bij", A, A))
+        M = jnp.concatenate([M, jnp.zeros((8, 9, 9), jnp.float32)])  # + zeros
+        x = np.asarray(nullvec9_pallas(M, interpret=True))
+        assert np.all(np.isfinite(x))
+        np.testing.assert_allclose(np.linalg.norm(x, axis=1), 1.0, atol=1e-3)
