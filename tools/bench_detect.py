@@ -31,20 +31,26 @@ def main():
     K = cfg.tpu.max_kps_per_octave
     N_ITER = 30
 
-    def timed(name, fn):
-        """fn: img -> scalar-reducible output; report per-iter device ms."""
+    def timed(name, fn, n1=30, n2=150, passes=4):
+        """fn: img -> scalar-reducible output; scan-length-slope device ms
+        (the ~30ms tunnel RTT cancels in t(n2)-t(n1))."""
         def body(carry, _):
             out = fn(img + carry * 1e-9)
             return carry + out, None
 
-        run = jax.jit(lambda: lax.scan(body, jnp.float32(0.0), None,
-                                       length=N_ITER)[0])
-        run()  # compile
-        r = run(); r.block_until_ready()
-        t0 = time.perf_counter()
-        r = run(); r.block_until_ready()
-        dt = (time.perf_counter() - t0) / N_ITER * 1e3
-        print(f"{name:<44}{dt:9.3f} ms")
+        def best_time(n):
+            run = jax.jit(lambda: lax.scan(body, jnp.float32(0.0), None,
+                                           length=n)[0])
+            run().block_until_ready()
+            best = 1e9
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                run().block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = (best_time(n2) - best_time(n1)) / (n2 - n1) * 1e3
+        print(f"{name:<44}{dt:9.3f} ms", flush=True)
         return dt
 
     th = jnp.int32(20)
@@ -79,6 +85,20 @@ def main():
         return extract_patches(im, xy).sum()
 
     timed("extract_patches (K=512)", patches_only)
+
+    if jax.default_backend() == "tpu":
+        from rso.kernels.fast_detect import corner_response_pallas
+
+        timed("corner_response_pallas (fused)",
+              lambda im: corner_response_pallas(im, th, arc=12, win=4).max())
+
+    def dense_bf16(im):
+        im16 = im.astype(jnp.bfloat16)
+        return jnp.where(fast_corner_mask(im16, th),
+                         shi_tomasi_response(im16, 4).astype(jnp.float32),
+                         -jnp.inf).max()
+
+    timed("corner+response bf16 (dense part)", dense_bf16)
 
     print(f"\nbackend: {jax.default_backend()} {jax.devices()[0]}")
 
