@@ -60,31 +60,36 @@ def run_bench(n_frames: int = 120, n_points: int = 2000, warmup: int = 3,
         pass_fps.append(n_frames / (time.perf_counter() - t0))
     fps = max(pass_fps)
 
-    # per-dispatch (live, frame-at-a-time) rate for reference
+    # per-dispatch (live, frame-at-a-time) rate for reference; capped frame
+    # count — each dispatch pays the full host/link round trip by design
+    n_live = min(n_frames, 60)
     eng.reset()
     for i in range(warmup):
         res = eng.process_frame(lefts[i], rights[i])
     jax.block_until_ready(res.pose)
     eng.reset()
     t0 = time.perf_counter()
-    for i in range(n_frames):
+    for i in range(n_live):
         res = eng.process_frame(lefts[i], rights[i])
     jax.block_until_ready(res.pose)
-    fps_live = n_frames / (time.perf_counter() - t0)
+    fps_live = n_live / (time.perf_counter() - t0)
 
     # accuracy pass (host-integrated trajectory from the chunked results —
-    # identical math to per-frame calls)
+    # identical math to per-frame calls).  ATE over a fixed 120-frame window
+    # so the number stays comparable when n_frames changes (drift grows with
+    # trajectory length).
     eng.reset()
     results = eng.process_chunk(lefts, rights)
     rel_poses = np.asarray(results.pose)
     valids = np.asarray(results.valid)
+    n_ate = min(n_frames, 120)
     T = np.eye(4)
     poses = [T.copy()]
-    for k in range(n_frames):
+    for k in range(n_ate):
         if valids[k]:
             T = T @ np.asarray(pose_matrix(rel_poses[k]))
         poses.append(T.copy())
-    ate = ate_rmse(np.stack(poses)[: len(seq.poses)], seq.poses)
+    ate = ate_rmse(np.stack(poses)[: n_ate + 1], seq.poses[: n_ate + 1])
 
     # BA iterations/sec (the BASELINE.json BA metric), single chip
     from rso.ba import BAProblem, bundle_adjust

@@ -218,6 +218,15 @@ class TPUParams:
     # blob data (error there is match-structure-limited), expected to help on
     # gradient-rich real imagery — off by default until validated on KITTI
     subpixel_track_refine: bool = False
+    # Run the dense detection passes (FAST segment test + Shi-Tomasi/Harris
+    # structure tensor) in bfloat16.  Detection is HBM-bound at f32
+    # speed-of-light on v5e (~45us per image-octave per pass); bf16 halves the
+    # bytes.  Measured trade (tools/exp_detect_bf16.py, synthetic 40-frame
+    # scene): ~1% step time for ~2x ATE (0.020 -> 0.045 m) — bf16 rounding of
+    # img+threshold shifts the effective FAST threshold by +-1 for pixels
+    # >= 256 and inflates NMS ties, churning ~10% of the keypoint set.  OFF by
+    # default; a throughput-over-accuracy escape hatch only.
+    detect_bf16: bool = False
     interpret_pallas: bool = False     # run Pallas kernels in interpreter mode (CPU tests)
 
 

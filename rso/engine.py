@@ -259,11 +259,13 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
             fl = detect_features(pyr_l[o], cfg.detect, Ks[o], th, need_desc,
                                  arc=cfg.tpu.fast_arc,
                                  use_pallas_detect=cfg.tpu.use_pallas_detect,
-                                 interpret_pallas=cfg.tpu.interpret_pallas)
+                                 interpret_pallas=cfg.tpu.interpret_pallas,
+                                 bf16=cfg.tpu.detect_bf16)
             fr = detect_features(pyr_r[o], cfg.detect, Ks[o], th, need_desc,
                                  arc=cfg.tpu.fast_arc,
                                  use_pallas_detect=cfg.tpu.use_pallas_detect,
-                                 interpret_pallas=cfg.tpu.interpret_pallas)
+                                 interpret_pallas=cfg.tpu.interpret_pallas,
+                                 bf16=cfg.tpu.detect_bf16)
             # octave budget: keep only the strongest budget[o] slots
             slot_ok = jnp.arange(Ks[o]) < budgets[o]
             fl = fl._replace(valid=fl.valid & slot_ok)
@@ -460,19 +462,24 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         # (false tracks must not carry landmark identity into the BA window)
         n_tracked_total = jnp.sum(tmask.astype(jnp.int32))
         tgts = []
+        claims_l = []
         for o in range(O):
             p = state.prev.octaves[o]
             c = cur_octs[o]
             trk_ok = tmask[offs[o]:offs[o + 1]]
             trk_idx = tracks[o].cur_idx
-            # scatter prev ids to tracked cur slots; invalid entries scatter
-            # out of bounds (index K) and are dropped
+            # route prev ids to tracked cur slots.  Dense one-hot instead of
+            # a scatter (.at[].set serializes on TPU); tracks are 1-to-1 by
+            # arbitration so each cur slot has at most one claimant and the
+            # max-reduce is exact.  Invalid entries point at Ks[o] and fall
+            # outside the iota — the scatter mode="drop" equivalent.
             tgt = jnp.where(trk_ok, trk_idx, Ks[o])
             tgts.append(tgt)
-            tracked_mask_cur = jnp.zeros((Ks[o],), jnp.bool_).at[tgt].set(
-                True, mode="drop")
-            prop_ids = jnp.full((Ks[o],), -1, jnp.int32).at[tgt].set(
-                p.match_ids, mode="drop")
+            claims = tgt[:, None] == jnp.arange(Ks[o], dtype=jnp.int32)[None, :]
+            claims_l.append(claims)
+            tracked_mask_cur = jnp.any(claims, axis=0)
+            prop_ids = jnp.max(
+                jnp.where(claims, p.match_ids[:, None], -1), axis=0)
             ids, last_id = _assign_new_ids(
                 c.matches.valid, tracked_mask_cur, prop_ids, last_id)
             final_octs.append(c._replace(match_ids=ids))
@@ -500,9 +507,10 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         # correspondences are exactly the aliased landmarks that destabilize
         # short-lifetime window solves)
         outlier_prev = smask & ~sol.inliers
+        # dense one-hot routing (see claims above) instead of a scatter
         obs_outlier = jnp.concatenate([
-            jnp.zeros((Ks[o],), jnp.bool_).at[tgts[o]].set(
-                outlier_prev[offs[o]:offs[o + 1]], mode="drop")
+            jnp.any(claims_l[o]
+                    & outlier_prev[offs[o]:offs[o + 1], None], axis=0)
             for o in range(O)])
 
         # ---- error codes & result -------------------------------------------

@@ -272,12 +272,17 @@ def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
             v = response[yy, xx]
             return jnp.where(jnp.isfinite(v), v, 0.0)
 
-        v0 = g(yi, xi)
-        dx = parab(g(yi, xm), v0, g(yi, xp))
-        dy = parab(g(ym, xi), v0, g(yp, xi))
+        # gathered [K] values are cast to f32 so the parabola fit keeps full
+        # precision even when the dense response map is bf16 (detect_bf16)
+        v0 = g(yi, xi).astype(jnp.float32)
+        dx = parab(g(yi, xm).astype(jnp.float32), v0,
+                   g(yi, xp).astype(jnp.float32))
+        dy = parab(g(ym, xi).astype(jnp.float32), v0,
+                   g(yp, xi).astype(jnp.float32))
         xs = xs + jnp.where(valid, dx, 0.0)
         ys = ys + jnp.where(valid, dy, 0.0)
     xy = jnp.stack([xs, ys], axis=-1)
+    vals = vals.astype(jnp.float32)
     return xy, jnp.where(valid, vals, 0.0), valid
 
 
@@ -421,6 +426,7 @@ def detect_features(
     arc: int = 12,
     use_pallas_detect: bool = False,
     interpret_pallas: bool = False,
+    bf16: bool = False,
 ) -> Features:
     """Detect up to k_slots features on one octave image.
 
@@ -429,14 +435,18 @@ def detect_features(
     """
     H, W = img.shape
     method = params.detect_method
+    # dense detection passes optionally run in bf16 (TPUParams.detect_bf16):
+    # u8 pixel values and their first differences are exact in bf16, only the
+    # box-summed gradient products round; the top-K gathers cast back to f32
+    work = img.astype(jnp.bfloat16) if bf16 else img
 
     if method == DetectMethod.KLT:
-        resp = shi_tomasi_response(img, params.KLT_win)
+        resp = shi_tomasi_response(work, params.KLT_win)
         keep = nms_grid(resp, params.min_distance)
         min_resp = params.minimum_KLT_response
     elif method == DetectMethod.ORB:
-        corner = fast_corner_mask(img, fast_threshold, arc=9 if arc == 12 else arc)
-        resp = jnp.where(corner, harris_response(img), -jnp.inf)
+        corner = fast_corner_mask(work, fast_threshold, arc=9 if arc == 12 else arc)
+        resp = jnp.where(corner, harris_response(work), -jnp.inf)
         keep = nms_grid(resp, params.min_distance) & corner
         min_resp = params.minimum_ORB_response
     else:  # FASTER / FAST_ORB: FAST corners ranked by KLT response
@@ -447,9 +457,9 @@ def detect_features(
                                           win=params.KLT_win,
                                           interpret=interpret_pallas)
         else:
-            corner = fast_corner_mask(img, fast_threshold, arc=arc)
+            corner = fast_corner_mask(work, fast_threshold, arc=arc)
             resp = jnp.where(corner,
-                             shi_tomasi_response(img, params.KLT_win),
+                             shi_tomasi_response(work, params.KLT_win),
                              -jnp.inf)
         keep = nms_grid(resp, params.min_distance) & (resp > -jnp.inf)
         min_resp = (params.minimum_KLT_response

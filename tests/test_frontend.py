@@ -95,6 +95,24 @@ class TestDetect:
         frac = np.abs(xy - np.round(xy))
         assert (frac > 1e-3).any()  # refinement produced non-integer coords
 
+    def test_detect_bf16_agrees_with_f32(self, seq, cfg):
+        """detect_bf16 (TPUParams) must keep f32 output dtypes and find
+        essentially the same keypoints (rounding only perturbs response
+        RANKING near the top-K boundary)."""
+        img = jnp.asarray(seq.frames[0][0], jnp.float32)
+        a = detect_features(img, cfg.detect, 512, jnp.int32(20), need_desc=False)
+        b = detect_features(img, cfg.detect, 512, jnp.int32(20),
+                            need_desc=False, bf16=True)
+        assert b.response.dtype == jnp.float32 and b.xy.dtype == jnp.float32
+        pa = np.asarray(a.xy)[np.asarray(a.valid)]
+        pb = np.asarray(b.xy)[np.asarray(b.valid)]
+        assert abs(len(pa) - len(pb)) < 0.1 * len(pa)
+        # same corners up to +-1px NMS-winner flips (response rounding can
+        # move the local argmax one pixel, not the corner)
+        d = np.linalg.norm(pa[:, None, :] - pb[None, :, :], axis=-1)
+        near = (d.min(axis=1) <= 1.5).mean()
+        assert near > 0.8, near
+
     def test_octave_budget_matches_reference_formula(self):
         # reference stage2_detect.cpp:405-407 with nfeats=500, 3 octaves
         b = octave_budget(500, 3)

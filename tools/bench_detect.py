@@ -100,6 +100,37 @@ def main():
 
     timed("corner+response bf16 (dense part)", dense_bf16)
 
+    def dense_f16(im):
+        # f16 with power-of-two gradient scaling (1/16) so grad^2 box sums
+        # stay under f16 max; u8 comparisons in the FAST test are exact
+        im16 = im.astype(jnp.float16)
+
+        def shift(a, dx, dy):
+            return jnp.roll(a, shift=(-dy, -dx), axis=(0, 1))
+
+        def box(a, r):
+            Hh, Ww = a.shape
+            s = 2 * r + 1
+            p = jnp.pad(a, ((r, r), (0, 0)))
+            rows = sum(p[dy:dy + Hh, :] for dy in range(s))
+            p = jnp.pad(rows, ((0, 0), (r, r)))
+            return sum(p[:, dx:dx + Ww] for dx in range(s))
+
+        gx = (shift(im16, 1, 0) - shift(im16, -1, 0)) * jnp.float16(0.5 / 16)
+        gy = (shift(im16, 0, 1) - shift(im16, 0, -1)) * jnp.float16(0.5 / 16)
+        n = jnp.float16(1.0 / 81)
+        gxx = box(gx * gx, 4) * n
+        gyy = box(gy * gy, 4) * n
+        gxy = box(gx * gy, 4) * n
+        tr_half = jnp.float16(0.5) * (gxx + gyy)
+        det = jnp.sqrt(jnp.maximum(
+            jnp.float16(0.25) * (gxx - gyy) ** 2 + gxy * gxy, jnp.float16(0)))
+        resp = (tr_half - det) * jnp.float16(256)
+        return jnp.where(fast_corner_mask(im16, th),
+                         resp.astype(jnp.float32), -jnp.inf).max()
+
+    timed("corner+response f16 scaled (dense)", dense_f16)
+
     print(f"\nbackend: {jax.default_backend()} {jax.devices()[0]}")
 
 
