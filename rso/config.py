@@ -195,7 +195,12 @@ class TPUParams:
     # ~60% of the stereo-match / tracking distance-matrix work on slots the
     # budget gate always empties.  frontend.detect.octave_k_slots.
     octave_slot_decay: bool = True
-    ransac_iters: int = 64             # fixed hypothesis count (replaces cv::FM_RANSAC)
+    # Fixed hypothesis count (replaces cv::FM_RANSAC adaptive iteration).
+    # 128: at the ~30-80 tracked counts the window search yields, the
+    # hypothesis pool must be deep enough that the best model is never
+    # merely mediocre — a bad accepted model erases the track set (ATE
+    # collapse measured at 64 on the bench scenes; 128 is +~0.04 ms).
+    ransac_iters: int = 128
     ransac_threshold: float = 1.0      # epipolar (Sampson) inlier distance, px
     fast_arc: int = 12                 # FAST-N contiguous arc (FASTER-12 equivalent)
     # Use Pallas distance kernels instead of the XLA-fused jnp path.  Both are

@@ -106,14 +106,24 @@ def ransac_fundamental(
     p1n, T1 = _normalize_pts(p1, mask)
     p2n, T2 = _normalize_pts(p2, mask)
 
-    # Sample 8 valid indices per hypothesis, uniform over valid slots:
-    # [H,8] uniform ranks into the valid set, mapped to slot indices by
-    # binary search over the mask cumsum.  (A vmapped categorical over the
-    # mask draws the same distribution but materializes [H,8,N] Gumbel
-    # noise — ~0.4 ms/frame of threefry at N=1024; this is [H,8] draws.)
+    # Sample 8 DISTINCT valid indices per hypothesis by stratified ranks:
+    # the valid set (tracked counts here run ~30-80, not hundreds) is split
+    # into 8 rank strata and each hypothesis draws one point per stratum.
+    # With-replacement sampling at n_valid~50 leaves ~45% of hypotheses with
+    # a duplicate point (rank-deficient 8-point systems), and a marginal
+    # hypothesis pool is exactly what let single bad models erase the track
+    # set (tracking-collapse cascade, see git history of this function).
+    # Slots are y-sorted per octave, so strata also spread the sample
+    # spatially — better-conditioned models for free.  [H,8] draws only.
     c = jnp.cumsum(mask.astype(jnp.int32))                # [N], c[-1]=n_valid
-    ranks = jax.random.randint(key, (n_iters, 8), 0,
-                               jnp.maximum(c[-1], 1))
+    n_valid = jnp.maximum(c[-1], 1)
+    lanes = jnp.arange(8, dtype=jnp.int32)
+    lo = (lanes * n_valid) // 8                           # [8] stratum bounds
+    hi = ((lanes + 1) * n_valid) // 8
+    width = jnp.maximum(hi - lo, 1).astype(jnp.float32)
+    u = jax.random.uniform(key, (n_iters, 8))
+    ranks = lo[None, :] + jnp.floor(u * width[None, :]).astype(jnp.int32)
+    ranks = jnp.minimum(ranks, n_valid - 1)
     # method='compare_all': one dense [H*8, N] compare+sum on the VPU; the
     # default binary-search lowering is a ~11-step sequential gather chain
     # (~80us/frame at these shapes)
@@ -126,11 +136,36 @@ def ransac_fundamental(
     inlh = mask[None] & (d2h <= threshold * threshold)
     scores = jnp.sum(inlh.astype(jnp.int32), axis=1)
     best = jnp.argmax(scores)
-    Fbest = Fs[best]
-    d2 = _sampson_sq(Fbest, p1, p2)
+
+    # Least-squares refit of the best model on ALL its inliers (in normalized
+    # coords), kept only if it scores at least as many inliers — the standard
+    # consensus refinement cv::findFundamentalMat applies after RANSAC.
+    inl_best = inlh[best]
+    x1, y1 = p1n[:, 0], p1n[:, 1]
+    x2, y2 = p2n[:, 0], p2n[:, 1]
+    Arows = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2,
+                       x1, y1, jnp.ones_like(x1)], axis=-1)        # [N,9]
+    w = inl_best.astype(Arows.dtype)[:, None]
+    Mr = jnp.einsum("ki,kj->ij", Arows * w, Arows * w)
+    from rso.kernels.smallchol import nullvec9_auto
+
+    Fr = nullvec9_auto(Mr[None])[0].reshape(3, 3)
+    Fr = T2.T @ Fr @ T1
+    d2r = _sampson_sq(Fr, p1, p2)
+    score_r = jnp.sum((mask & (d2r <= threshold * threshold))
+                      .astype(jnp.int32))
+    use_r = score_r >= scores[best]
+    Fbest = jnp.where(use_r, Fr, Fs[best])
+    d2 = jnp.where(use_r, d2r, d2h[best])
+
     inliers = mask & (d2 <= threshold * threshold)
     n_inl = jnp.sum(inliers.astype(jnp.int32))
-    ok = n_inl >= 8
-    # When the model is unusable the reference keeps all matches (stage4:256-259)
+    # Acceptance: >= 8 inliers (reference stage4:256-259 passthrough rule)
+    # AND a sane consensus fraction — a "valid" model that rejects most of
+    # the track set is far more likely wrong than the tracker (letting it
+    # through collapses tracking; the pose solver's robust kernel + residual
+    # cut handles the outliers a passthrough admits).
+    ok = (n_inl >= 8) & (n_inl.astype(jnp.float32)
+                         >= 0.25 * c[-1].astype(jnp.float32))
     inliers = jnp.where(ok, inliers, mask)
     return RansacResult(inliers=inliers, F=Fbest, n_inliers=n_inl, ok=ok)
