@@ -62,6 +62,7 @@ ERROR_NAMES = {
     3: "voecIncrFuncCostStg1",
     4: "voecIncrFuncCostStg2",
     5: "voecFirstIteration",
+    6: "voecTooFewInliers",  # rso extension (robust_gn.VOEC_TOO_FEW_INLIERS)
 }
 
 

@@ -38,6 +38,14 @@ VOEC_BAD_COND_NUMBER = 2
 VOEC_INCR_FUNC_COST_STG1 = 3
 VOEC_INCR_FUNC_COST_STG2 = 4
 VOEC_FIRST_ITERATION = 5
+# extension beyond the reference enum (libstereo-odometry.h:142): the solve
+# had fewer than 8 correspondences before or after the residual cut.  The
+# reference never reports this case distinctly (its GN just runs and usually
+# trips voecBadCondNumber).  Deliberately NOT a keep-prev recovery trigger:
+# measured on the 480-frame bench scene, consuming the frame (a 1-frame gap
+# the caller coasts over) beats holding the previous frame while the camera
+# moves on (raw ATE 3.2 vs 5.5 when these engage recovery).
+VOEC_TOO_FEW_INLIERS = 6
 
 _COND_MAX = 1e7  # condition-number guard (reference aborts only on NaN; we
                  # additionally flag numerically-singular systems in f32)
@@ -253,6 +261,10 @@ def solve_pose(
 
     valid = enough & enough2 & ~abort1 & ~abort2
     error_code = jnp.where(ec1 != VOEC_NONE, ec1, ec2).astype(jnp.int32)
+    # too few correspondences (before or after the residual cut) is reported
+    # distinctly instead of as a silent invalid-with-voecNone
+    error_code = jnp.where((error_code == VOEC_NONE) & ~(enough & enough2),
+                           VOEC_TOO_FEW_INLIERS, error_code).astype(jnp.int32)
     delta = jnp.where(valid, dp2, dp1)
 
     # outPose = inverse of accumulated deltaPose (reference :715-718)
