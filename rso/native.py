@@ -23,6 +23,20 @@ def _load():
     if _LIB is not None:
         return _LIB
     if not os.path.exists(_LIB_PATH):
+        # first-use build: the oracle is one self-contained C++ file; build
+        # it on the spot when a toolchain is present rather than skipping
+        # every cross-language equivalence test
+        import shutil
+        import subprocess
+
+        build = os.path.join(os.path.dirname(_LIB_PATH), "build.sh")
+        if shutil.which("g++") and os.path.exists(build):
+            try:
+                subprocess.run(["bash", build], check=True, timeout=120,
+                               capture_output=True)
+            except (subprocess.SubprocessError, OSError):
+                pass
+    if not os.path.exists(_LIB_PATH):
         raise OSError(
             f"native library not built: {_LIB_PATH} (run native/build.sh)")
     lib = ctypes.CDLL(_LIB_PATH)
