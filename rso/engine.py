@@ -655,6 +655,14 @@ class Engine:
         if self.state is None:
             self.state = init_state(self.cfg, (h, w))
         self._state_before_last = self.state
+
+        # OPTICAL_FLOW mode carries full pyramids in the scan state; on the
+        # current TPU runtime, flow-mode scans past ~40 KITTI-size frames
+        # reproducibly crash the worker (N=30 fine 3/3, N>=45 crash 3/3,
+        # every other mode fine at N=480).  Slice the dispatch; state threads
+        # through on device so the math is unchanged.
+        max_n = (32 if self.cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW
+                 else left_imgs.shape[0])
         key = (h, w, "__chunk__")
         if key not in self._step_cache:
             step = make_step(self.cfg, self.cam, h, w,
@@ -665,9 +673,18 @@ class Engine:
                                 st, (ls, rs))
 
             self._step_cache[key] = jax.jit(chunk)
-        self.state, results = self._step_cache[key](
-            self.state, left_imgs, right_imgs)
-        return results
+        if left_imgs.shape[0] <= max_n:
+            self.state, results = self._step_cache[key](
+                self.state, left_imgs, right_imgs)
+            return results
+        outs = []
+        for i in range(0, left_imgs.shape[0], max_n):
+            self.state, res = self._step_cache[key](
+                self.state, left_imgs[i:i + max_n],
+                right_imgs[i:i + max_n])
+            outs.append(res)
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
     # ---- dynamic threshold accessors (reference h:529-541) ----------------
 

@@ -23,10 +23,11 @@ def main():
 
     W, H = 1241, 376
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    speed = float(sys.argv[3]) if len(sys.argv) > 3 else 0.8
     cam = StereoCamera.make(fx_l=718.856, fy_l=718.856, cx_l=W / 2.0,
                             cy_l=H / 2.0, baseline=0.5371)
     seq = make_sequence(n_frames=N, n_points=max(2000, N * 17), H=H, W=W,
-                        cam=cam, speed=0.8)
+                        cam=cam, speed=speed)
     base = synthetic_config()
     L = jnp.stack([jnp.asarray(l) for l, _ in seq.frames])
     R = jnp.stack([jnp.asarray(r) for _, r in seq.frames])
