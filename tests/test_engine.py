@@ -158,6 +158,29 @@ class TestEngineE2E:
         r2 = eng2.process_frame(*seq.frames[n])
         np.testing.assert_array_equal(np.asarray(r1.pose), np.asarray(r2.pose))
 
+    def test_flow_chunk_slicing_matches_single_dispatch(self):
+        """OPTICAL_FLOW chunks are auto-sliced to 32 frames per dispatch
+        (TPU-runtime workaround); slicing must not change results."""
+        import dataclasses
+        import jax.numpy as jnp
+        from rso.config import IFMatchMethod
+
+        s = make_sequence(n_frames=35, n_points=500, H=96, W=160)
+        cfg = synthetic_config().replace(
+            if_match=dataclasses.replace(synthetic_config().if_match,
+                                         ifm_method=IFMatchMethod.OPTICAL_FLOW))
+        lefts = jnp.stack([jnp.asarray(l) for l, _ in s.frames])
+        rights = jnp.stack([jnp.asarray(r) for _, r in s.frames])
+        eng1 = Engine(cfg, s.cam)
+        sliced = eng1.process_chunk(lefts, rights)      # 32 + 3 dispatches
+        eng2 = Engine(cfg, s.cam)
+        a = eng2.process_chunk(lefts[:20], rights[:20])  # different split
+        b = eng2.process_chunk(lefts[20:], rights[20:])
+        joined = np.concatenate([np.asarray(a.pose), np.asarray(b.pose)])
+        np.testing.assert_allclose(np.asarray(sliced.pose), joined,
+                                   rtol=0, atol=0)
+        assert sliced.pose.shape[0] == 35
+
     def test_deterministic(self, seq):
         eng1 = Engine(synthetic_config(), seq.cam)
         eng2 = Engine(synthetic_config(), seq.cam)
