@@ -69,9 +69,31 @@ class StereoDataset:
         for i in range(len(self)):
             yield self[i]
 
-    def prefetch(self, depth: int = 4) -> Iterator[StereoFrame]:
+    def prefetch(self, depth: int = 4,
+                 native: bool | None = None) -> Iterator[StereoFrame]:
         """Background-decode iterator: the host half of the double-buffered
-        pipeline (SURVEY section 2.5 PP row)."""
+        pipeline (SURVEY section 2.5 PP row).
+
+        native=True forces the C++ prefetch ring (native/rso_loader.cpp,
+        the equivalent of the reference's MRPT acquisition layer),
+        native=False the Python thread + cv2/PIL path, None auto-selects.
+        """
+        if native is not False:
+            try:
+                from rso.io import native_loader
+
+                if native_loader.available():
+                    ring = native_loader.NativePrefetcher(
+                        self.left_paths, self.right_paths, depth=depth)
+                    return (StereoFrame(left, right,
+                                        float(self.timestamps[i]), i)
+                            for left, right, i in ring)
+            except (OSError, RuntimeError):
+                if native:  # explicitly requested: surface the failure
+                    raise
+        return self._prefetch_python(depth)
+
+    def _prefetch_python(self, depth: int = 4) -> Iterator[StereoFrame]:
         q: queue.Queue = queue.Queue(maxsize=depth)
         SENTINEL = object()
 
