@@ -152,7 +152,7 @@ def corner_response_pallas(img: jnp.ndarray, threshold: jnp.ndarray,
         functools.partial(_kernel, arc=arc, win=win),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # stays in HBM, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),      # stays in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
