@@ -58,6 +58,7 @@ def main(argv=None):
 
     # ---- source select (reference demo-main.cpp:110-146) -------------------
     gt = None
+    rectify_maps = None
     if args.synthetic:
         from rso.synthetic import make_sequence, synthetic_config
 
@@ -93,6 +94,7 @@ def main(argv=None):
             return 2
         cam = ds.cam
         gt = ds.gt_poses
+        rectify_maps = ds.rectify_maps  # EuRoC: on-device undistort/rectify
         n = len(ds) if not args.frames else min(args.frames, len(ds))
         frames = ((f.left, f.right, f.timestamp)
                   for f in ds.prefetch() if f.index < n)
@@ -103,7 +105,7 @@ def main(argv=None):
 
     logger = VOLogger(args.verbosity)
     prof = SpanProfiler(args.profile)
-    eng = Engine(cfg, cam)
+    eng = Engine(cfg, cam, rectify_maps=rectify_maps)
     if args.load_state:
         from rso.io.checkpoint import load_state
 

@@ -311,6 +311,9 @@ _SECTION_FIELDS = {
             "orb_min_th": "orb_min_th",
             "orb_max_th": "orb_max_th",
             "orb_max_distance": "orb_max_distance",
+            # TPU-extension key (no reference equivalent): see
+            # LeftRightMatchParams.use_z_gate
+            "use_z_gate": "use_z_gate",
         },
     ),
     "IF-MATCH": (

@@ -46,13 +46,18 @@ class StereoDataset:
     """Base: a calibrated list of stereo frame paths."""
 
     def __init__(self, left_paths, right_paths, timestamps, cam: StereoCamera,
-                 gt_poses: np.ndarray | None = None):
+                 gt_poses: np.ndarray | None = None, rectify_maps=None):
         assert len(left_paths) == len(right_paths)
         self.left_paths = left_paths
         self.right_paths = right_paths
         self.timestamps = timestamps
         self.cam = cam
         self.gt_poses = gt_poses  # [N,4,4] camera-to-world, if available
+        # ((map_lx,map_ly),(map_rx,map_ry)) for unrectified rigs (EuRoC);
+        # None when images are already rectified (KITTI, Malaga).  Callers
+        # must pass this to Engine(rectify_maps=...) — the reference applies
+        # its cached CStereoRectifyMap per frame (stage1_rectify.cpp:66-73).
+        self.rectify_maps = rectify_maps
 
     def __len__(self):
         return len(self.left_paths)
@@ -134,9 +139,11 @@ def load_kitti(seq_dir: str, calib_file: str | None = None,
 
 
 def load_euroc(seq_dir: str) -> StereoDataset:
-    """EuRoC MAV directory (mav0/cam0, mav0/cam1). Images are unrectified;
-    callers should pair this with rso.io.calib.load_euroc_calib +
-    compute_rectify_maps and enable rectification in the engine."""
+    """EuRoC MAV directory (mav0/cam0, mav0/cam1). Images are unrectified:
+    the returned dataset carries the rectified StereoCamera *and* the
+    per-eye remap grids in .rectify_maps, which must reach
+    Engine(rectify_maps=...) so stage 1 undistorts on device (reference
+    stage1_rectify.cpp:66-73)."""
     c0 = os.path.join(seq_dir, "mav0", "cam0", "data")
     c1 = os.path.join(seq_dir, "mav0", "cam1", "data")
     lp = sorted(globmod.glob(os.path.join(c0, "*.png")))
@@ -150,8 +157,8 @@ def load_euroc(seq_dir: str) -> StereoDataset:
     calib = load_euroc_calib(
         os.path.join(seq_dir, "mav0", "cam0", "sensor.yaml"),
         os.path.join(seq_dir, "mav0", "cam1", "sensor.yaml"))
-    cam, _, _ = compute_rectify_maps(calib)
-    return StereoDataset(lp, rp, ts, cam)
+    cam, map_l, map_r = compute_rectify_maps(calib)
+    return StereoDataset(lp, rp, ts, cam, rectify_maps=(map_l, map_r))
 
 
 def load_malaga(seq_dir: str, cam: StereoCamera | None = None) -> StereoDataset:
