@@ -1,5 +1,6 @@
 """Config-mode coverage: every detector / matcher / tracker enum value runs
-end-to-end, plus LK flow unit behavior and the FAST threshold servo."""
+end-to-end with per-mode ATE bounds on a textured scene, plus LK flow unit
+behavior and the FAST threshold servo."""
 import dataclasses
 
 import numpy as np
@@ -9,12 +10,75 @@ import pytest
 
 from rso.config import DetectMethod, IFMatchMethod, StereoMatchMethod
 from rso.engine import Engine
-from rso.synthetic import make_sequence, synthetic_config
+from rso.synthetic import (make_sequence, make_textured_sequence,
+                           synthetic_config, textured_config)
 
 
 @pytest.fixture(scope="module")
 def seq():
     return make_sequence(n_frames=4, n_points=1800, H=160, W=240)
+
+
+@pytest.fixture(scope="module")
+def tex_seq():
+    return make_textured_sequence(n_frames=8, H=200, W=320)
+
+
+class TestModeATE:
+    """Accuracy regression per mode combination on REAL texture.
+
+    Replaces the round-1 any(valid) smoke checks: a mode regressing from
+    centimeter to meter ATE now fails CI.  Bounds are ~4x the measured
+    values (SAD 0.009, FLOW 0.010, ORB-BF 0.010, FAST_ORB-Win 0.010,
+    KLT 0.014 on this scene) — loose enough for platform noise, tight
+    enough to catch collapse.  Mode semantics:
+    stage4_match_consecutive.cpp:71-801.
+    """
+
+    COMBOS = {
+        "SAD": (DetectMethod.FASTER, StereoMatchMethod.SAD,
+                IFMatchMethod.SAD, 0.04),
+        "FLOW": (DetectMethod.FASTER, StereoMatchMethod.SAD,
+                 IFMatchMethod.OPTICAL_FLOW, 0.04),
+        "ORB_BF": (DetectMethod.ORB, StereoMatchMethod.DESC_BF,
+                   IFMatchMethod.DESC_BF, 0.05),
+        "FAST_ORB_WIN": (DetectMethod.FAST_ORB, StereoMatchMethod.DESC_RBR,
+                         IFMatchMethod.DESC_WIN, 0.05),
+        "KLT": (DetectMethod.KLT, StereoMatchMethod.SAD,
+                IFMatchMethod.SAD, 0.06),
+    }
+
+    @pytest.mark.parametrize("name", list(COMBOS))
+    def test_mode_ate(self, tex_seq, name):
+        from rso.geometry import pose_matrix
+        from rso.metrics.ate import ate_rmse
+
+        dm, sm, ifm, bound = self.COMBOS[name]
+        base = textured_config()
+        cfg = base.replace(
+            detect=dataclasses.replace(base.detect, detect_method=dm,
+                                       minimum_ORB_response=0.0),
+            lr_match=dataclasses.replace(base.lr_match, match_method=sm,
+                                         orb_max_distance=90.0,
+                                         max_y_diff=1.5),
+            if_match=dataclasses.replace(base.if_match, ifm_method=ifm,
+                                         orb_max_distance=90.0))
+        if dm == DetectMethod.ORB:
+            cfg = cfg.replace(rectify=dataclasses.replace(cfg.rectify,
+                                                          nOctaves=1))
+        eng = Engine(cfg, tex_seq.cam)
+        T = np.eye(4)
+        poses = [T.copy()]
+        nvalid = 0
+        for l, r in tex_seq.frames:
+            res = eng.process_frame(l, r)
+            if bool(res.valid):
+                nvalid += 1
+                T = T @ np.asarray(pose_matrix(res.pose))
+            poses.append(T.copy())
+        a = ate_rmse(np.stack(poses)[1:], tex_seq.poses)
+        assert nvalid >= 6, f"{name}: only {nvalid}/7 valid frames"
+        assert a < bound, f"{name}: ATE {a:.4f} m exceeds {bound}"
 
 
 def _run3(cfg, seq):
