@@ -3,17 +3,33 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Baseline note: the reference (famoreno/stereo-vo) publishes no end-to-end
-numbers (BASELINE.md); the only in-tree figures are compute_SAD8 latencies.
-`vs_baseline` is therefore computed against a measured-class estimate of the
-C++ pipeline on a desktop CPU: ~20 frames/s at KITTI 1241x376 with default
-feature counts (SAD stereo path; consistent with the IJRR'16 real-time claim
-of 10 Hz+ with margin).  BASELINE.json's target is >=5x that per chip.
+Baseline: the reference (famoreno/stereo-vo) publishes no end-to-end numbers
+and cannot be compiled here (MRPT absent), so `vs_baseline` divides by a
+MEASURED run of native/rso_baseline — the faithful OpenCV port of the
+reference pipeline (stages 1-5 semantics) — on this host, on the same scene
+(tools/measure_baseline.py writes BASELINE_MEASURED.json; re-run it to
+refresh).  If the artifact is missing the round-1 estimate (20 FPS) is used
+and flagged via "baseline_kind": "estimate".
 """
 import json
+import os
 import sys
 
-REFERENCE_FPS_ESTIMATE = 20.0
+REFERENCE_FPS_ESTIMATE = 20.0  # fallback only; see module docstring
+
+
+def _measured_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        for r in doc.get("results", []):
+            if r.get("scene") == "blob":   # the bench scene
+                return float(r["fps"]), "measured"
+    except (OSError, ValueError, KeyError):
+        pass
+    return REFERENCE_FPS_ESTIMATE, "estimate"
 
 
 def main():
@@ -27,11 +43,14 @@ def main():
     # the original 120-frame scene or the tracker starves.
     out = run_bench(n_frames=480, n_points=8000, width=1241, height=376,
                     repeat_passes=4)
+    base_fps, base_kind = _measured_baseline()
     line = {
         "metric": "vo_frames_per_sec_per_chip_kitti_size",
         "value": round(out["fps"], 3),
         "unit": "frames/s",
-        "vs_baseline": round(out["fps"] / REFERENCE_FPS_ESTIMATE, 3),
+        "vs_baseline": round(out["fps"] / base_fps, 3),
+        "baseline_fps": base_fps,
+        "baseline_kind": base_kind,
         "ate_rmse_m": round(out["ate_rmse_m"], 4),
         "ba_iters_per_sec": round(out["ba_iters_per_sec"], 1),
         "backend": out["backend"],
