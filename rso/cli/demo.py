@@ -36,6 +36,10 @@ def build_parser():
     p.add_argument("--coast", action="store_true",
                    help="bridge invalid frames with the last valid motion "
                         "(constant-velocity prior) instead of zero motion")
+    p.add_argument("--pause", action="store_true",
+                   help="start paused; interactive keys on a TTY: "
+                        "p=pause/resume, s=single-step, q=quit "
+                        "(reference demo-main.cpp:256-284)")
     p.add_argument("--profile", action="store_true", help="print span profile at exit")
     p.add_argument("--ba", action="store_true",
                    help="sliding-window bundle adjustment at keyframe rate")
@@ -44,6 +48,52 @@ def build_parser():
     p.add_argument("--ba-distributed", action="store_true",
                    help="shard BA landmarks over all local devices")
     return p
+
+
+class _KeyControl:
+    """Interactive pause/step/quit keys — the runtime control the reference
+    demo offers through its GUI key handler (demo-main.cpp:256-284,
+    gui_thread.cpp:328-338): p toggles pause, s steps one frame while
+    paused, q quits.  Reads stdin non-blockingly; inert when stdin is not a
+    TTY (CI, piped runs) or on platforms without select-able stdin.
+    """
+
+    def __init__(self, start_paused: bool = False):
+        self.paused = start_paused
+        try:
+            self.tty = sys.stdin is not None and sys.stdin.isatty()
+        except (ValueError, OSError):
+            self.tty = False
+
+    def _poll_key(self, timeout: float = 0.0):
+        import select
+
+        try:
+            r, _, _ = select.select([sys.stdin], [], [], timeout)
+        except (ValueError, OSError):
+            return None
+        if r:
+            ch = sys.stdin.readline().strip().lower()
+            return ch[:1] if ch else None
+        return None
+
+    def wait_if_paused(self) -> bool:
+        """Process pending keys; block while paused.  False => quit."""
+        if not self.tty:
+            return True
+        k = self._poll_key(0.0)
+        while True:
+            if k == "q":
+                return False
+            if k == "p":
+                self.paused = not self.paused
+                print(f"[rso] {'paused' if self.paused else 'resumed'} "
+                      "(p=pause/resume, s=step, q=quit)", file=sys.stderr)
+            if k == "s" and self.paused:
+                return True  # single-step: run one frame, stay paused
+            if not self.paused:
+                return True
+            k = self._poll_key(0.25)
 
 
 def main(argv=None):
@@ -130,6 +180,7 @@ def main(argv=None):
                       max_landmarks=args.ba_landmarks, mesh=mesh)
         ba.engine = eng
 
+    keys = _KeyControl(start_paused=args.pause)
     T = np.eye(4)
     poses = [T.copy()]
     times = [0.0]
@@ -138,6 +189,9 @@ def main(argv=None):
     last_delta = None
     t_start = time.time()
     for left, right, ts in frames:
+        if not keys.wait_if_paused():
+            print("[rso] quit requested", file=sys.stderr)
+            break
         with prof.span("processNewImagePair"):
             if ba is not None:
                 out = ba.process_frame(left, right)

@@ -212,6 +212,12 @@ class TPUParams:
     # collapse measured at 64 on the bench scenes; 128 is +~0.04 ms).
     ransac_iters: int = 128
     ransac_threshold: float = 1.0      # epipolar (Sampson) inlier distance, px
+    # Detector top-K recall target (lax.approx_max_k).  Measured on v5e
+    # (tools/exp_topk_recall.py): exact top-k (1.0) costs +419us per
+    # KITTI-size image pass (567 -> 986 us) while 0.95 drops only 1.6-2.5%
+    # of the 512 winners on blob scenes and none on textured scenes; the
+    # e2e ATE effect is within seed noise (see docs/MODES.md).
+    topk_recall: float = 0.95
     fast_arc: int = 12                 # FAST-N contiguous arc (FASTER-12 equivalent)
     # Use Pallas distance kernels instead of the XLA-fused jnp path.  Both are
     # bit-exact (tests/test_kernels.py, verified on v5e); measured on v5e the

@@ -16,10 +16,12 @@ shape-stable replacement for the FAST threshold servo; the servo itself is
 still carried as engine state and applied as a traced threshold).
 
 Descriptors are 256-bit oriented BRIEF packed into uint32[8] words (Hamming
-distance = XOR + population count on the VPU).  The sampling pattern is a
-fixed seeded Gaussian pair set (classic BRIEF); it is *self-consistent* (the
-framework matches its own descriptors) rather than bit-compatible with
-OpenCV's learned ORB pattern.
+distance = XOR + population count on the VPU).  The sampling pattern is
+LEARNED (rso/frontend/orb_pattern.py, trained by tools/learn_orb_pattern.py
+with the ORB paper's greedy variance/decorrelation procedure on steered
+real-texture patches — the same training behind cv::ORB's bit_pattern_31_).
+It is *self-consistent* (the framework matches its own descriptors) rather
+than bit-compatible with OpenCV's table.
 """
 from __future__ import annotations
 
@@ -55,11 +57,21 @@ _ORIENT_R = 15        # intensity-centroid radius (ORB uses 15)
 
 
 def _make_brief_pattern() -> np.ndarray:
+    """256 BRIEF test pairs, [256, 2(pair), 2(xy)].
+
+    Primary: the LEARNED pattern (tools/learn_orb_pattern.py — the ORB-paper
+    greedy variance/decorrelation training on steered real-texture patches,
+    the same procedure behind cv::ORB's bit_pattern_31_ that the reference
+    uses, stage2_detect.cpp:480-493).  Fallback: seeded random-Gaussian BRIEF
+    with a minimum pair distance of 2.5px (pairs closer than the 5x5
+    smoothing kernel compare a value with itself)."""
+    try:
+        from rso.frontend.orb_pattern import LEARNED_PATTERN
+
+        return np.asarray(LEARNED_PATTERN, dtype=np.float32)
+    except ImportError:  # pragma: no cover
+        pass
     r = np.random.default_rng(0x5EED)
-    # rejection-sample pairs whose endpoints are at least 2.5px apart: a pair
-    # closer than the 5x5 smoothing kernel compares a value with itself and
-    # its bit is pure sensor/subpixel noise (ORB's learned pattern enforces
-    # the same property via its correlation criterion)
     out = []
     while len(out) < _BRIEF_N:
         p = np.clip(r.normal(0.0, 5.0, size=(2, 2)), -12.0, 12.0)
@@ -240,7 +252,7 @@ def adaptive_nms_select(xy: jnp.ndarray, resp: jnp.ndarray,
 
 def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
                 min_response: float | jnp.ndarray = 0.0,
-                subpixel: bool = True):
+                subpixel: bool = True, recall: float = 0.95):
     """Top-K peaks of a masked dense response map -> (xy [K,2], resp [K], valid [K]).
 
     With subpixel=True, peak positions are refined by a 1D quadratic fit per
@@ -251,9 +263,10 @@ def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
     H, W = response.shape
     masked = jnp.where(keep_mask, response, -jnp.inf)
     flat = masked.reshape(-1)
-    try:  # TPU-accelerated approximate top-k (exact enough after NMS: winners
-        # are spatially sparse, so bucket collisions are rare)
-        vals, idx = lax.approx_max_k(flat, k, recall_target=0.95)
+    try:  # TPU-accelerated approximate top-k (measured trade in
+        # tools/exp_topk_recall.py: recall 1.0 costs +419us per KITTI-size
+        # image pass; 0.95 drops 1.6-2.5% of winners, ATE-neutral)
+        vals, idx = lax.approx_max_k(flat, k, recall_target=recall)
     except NotImplementedError:  # pragma: no cover
         vals, idx = lax.top_k(flat, k)
     yi = (idx // W).astype(jnp.int32)
@@ -436,6 +449,73 @@ def octave_k_slots(orb_nfeats: int, n_octaves: int, k_max: int,
             for b in octave_budget(orb_nfeats, n_octaves)]
 
 
+def _orb_level_budgets(k_slots: int, nlevels: int) -> list[int]:
+    """Per-level feature budgets, geometric with factor 1/1.2 like cv::ORB's
+    nfeatures-per-level split; sums exactly to k_slots."""
+    f = 1.0 / 1.2
+    raw = [f ** l for l in range(nlevels)]
+    scale = k_slots / sum(raw)
+    ks = [max(8, int(round(r * scale))) for r in raw]
+    ks[0] += k_slots - sum(ks)
+    return ks
+
+
+def _detect_orb_multilevel(img: jnp.ndarray, params: DetectParams,
+                           k_slots: int, fast_threshold, need_desc: bool,
+                           topk_recall: float = 0.95) -> Features:
+    """ORB detection over the internal 1.2x scale ladder (reference ORB mode:
+    one engine octave, orb_nlevels internal scales — stage2_detect.cpp:458-497).
+
+    Per level: bilinear resize, FAST-9 + Harris response, grid NMS, top-K
+    within the level's geometric budget, descriptors computed on the LEVEL
+    image (scale-covariant like cv::ORB), coords scaled back to full
+    resolution.  SAD patches are extracted from the full-resolution image
+    (stage-3/4 SAD always runs at the octave scale).  All shapes static.
+    """
+    H, W = img.shape
+    nlevels = params.orb_nlevels
+    budgets = _orb_level_budgets(k_slots, nlevels)
+    xs, rs, vs, ds = [], [], [], []
+    for l in range(nlevels):
+        s = 1.2 ** l
+        Hl, Wl = max(int(round(H / s)), 64), max(int(round(W / s)), 64)
+        lvl = (img if l == 0 else
+               jax.image.resize(img, (Hl, Wl), method="bilinear"))
+        corner = fast_corner_mask(lvl, fast_threshold, arc=9)
+        resp = jnp.where(corner, harris_response(lvl), -jnp.inf)
+        keep = nms_grid(resp, params.min_distance) & corner
+        margin = _PATCH_R + 1 if need_desc else 5
+        yy = lax.broadcasted_iota(jnp.int32, (Hl, Wl), 0)
+        xx = lax.broadcasted_iota(jnp.int32, (Hl, Wl), 1)
+        keep &= ((xx >= margin) & (xx < Wl - margin)
+                 & (yy >= margin) & (yy < Hl - margin))
+        xy, resp_k, valid = select_topk(resp, keep, budgets[l],
+                                        params.minimum_ORB_response,
+                                        recall=topk_recall)
+        xy = jnp.where(valid[:, None], xy, 0.0)
+        if need_desc:
+            desc = orb_descriptors(lvl, xy, upright=params.orb_upright)
+            desc = jnp.where(valid[:, None], desc, 0)
+        else:
+            desc = jnp.zeros((budgets[l], 8), dtype=jnp.uint32)
+        # back to full-resolution coords (clamped inside the base margin)
+        scale_back = jnp.asarray([(W - 1) / (Wl - 1), (H - 1) / (Hl - 1)],
+                                 jnp.float32)
+        xyf = jnp.clip(xy * scale_back[None, :],
+                       jnp.float32(5.0),
+                       jnp.asarray([W - 6, H - 6], jnp.float32))
+        xs.append(jnp.where(valid[:, None], xyf, 0.0))
+        rs.append(resp_k)
+        vs.append(valid)
+        ds.append(desc)
+    xy = jnp.concatenate(xs, axis=0)
+    valid = jnp.concatenate(vs, axis=0)
+    patch = extract_patches(img, xy)
+    return Features(xy=xy, response=jnp.concatenate(rs, axis=0), valid=valid,
+                    desc=jnp.concatenate(ds, axis=0),
+                    patch=jnp.where(valid[:, None], patch, 0.0))
+
+
 def detect_features(
     img: jnp.ndarray,
     params: DetectParams,
@@ -446,6 +526,7 @@ def detect_features(
     use_pallas_detect: bool = False,
     interpret_pallas: bool = False,
     bf16: bool = False,
+    topk_recall: float = 0.95,
 ) -> Features:
     """Detect up to k_slots features on one octave image.
 
@@ -454,6 +535,12 @@ def detect_features(
     """
     H, W = img.shape
     method = params.detect_method
+    if method == DetectMethod.ORB and params.orb_nlevels > 1:
+        # cv::ORB's internal scale space: the reference's ORB mode runs one
+        # engine octave but detects over orb_nlevels scales at factor 1.2
+        # (stage2_detect.cpp:458-497, stage1_rectify.cpp:80)
+        return _detect_orb_multilevel(img, params, k_slots, fast_threshold,
+                                      need_desc, topk_recall)
     # dense detection passes optionally run in bf16 (TPUParams.detect_bf16):
     # u8 pixel values and their first differences are exact in bf16, only the
     # box-summed gradient products round; the top-K gathers cast back to f32
@@ -504,7 +591,8 @@ def detect_features(
     inb = (xs >= margin) & (xs < W - margin) & (ys >= margin) & (ys < H - margin)
     keep = keep & inb
 
-    xy, resp_k, valid = select_topk(resp, keep, k_slots, min_resp)
+    xy, resp_k, valid = select_topk(resp, keep, k_slots, min_resp,
+                                    recall=topk_recall)
     if use_adaptive:
         valid = adaptive_nms_select(xy, resp_k, valid, k_slots)
     xy = jnp.where(valid[:, None], xy, 0.0)
