@@ -658,13 +658,12 @@ class Engine:
             self.state = init_state(self.cfg, (h, w))
         self._state_before_last = self.state
 
-        # OPTICAL_FLOW mode carries full pyramids in the scan state; on the
-        # current TPU runtime, flow-mode scans past ~40 KITTI-size frames
-        # reproducibly crash the worker (N=30 fine 3/3, N>=45 crash 3/3,
-        # every other mode fine at N=480).  Slice the dispatch; state threads
-        # through on device so the math is unchanged.
-        max_n = (32 if self.cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW
-                 else left_imgs.shape[0])
+        # All modes run unsliced.  (Round-1 sliced OPTICAL_FLOW to 32 frames:
+        # the old per-sample-gather LK faulted the TPU worker past ~100 lk
+        # calls in one scan dispatch; the patch-based LK rewrite removed the
+        # trigger — N=480 KITTI-size flow frames verified in one dispatch.
+        # Root-cause notes: docs/FLOW_SCAN_FAULT.md.)
+        max_n = left_imgs.shape[0]
         key = (h, w, "__chunk__")
         if key not in self._step_cache:
             step = make_step(self.cfg, self.cam, h, w,

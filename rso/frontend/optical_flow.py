@@ -31,39 +31,57 @@ class FlowResult(NamedTuple):
     err: jnp.ndarray      # [K] mean abs residual at the solution
 
 
-def _bilinear(img, x, y):
-    H, W = img.shape
-    xf = jnp.clip(x, 0.0, W - 1.001)
-    yf = jnp.clip(y, 0.0, H - 1.001)
-    x0 = xf.astype(jnp.int32)
-    y0 = yf.astype(jnp.int32)
-    fx = xf - x0
-    fy = yf - y0
-    Ia = img[y0, x0]
-    Ib = img[y0, x0 + 1]
-    Ic = img[y0 + 1, x0]
-    Id = img[y0 + 1, x0 + 1]
-    return (Ia * (1 - fx) + Ib * fx) * (1 - fy) + (Ic * (1 - fx) + Id * fx) * fy
-
-
 def _lk_level(prev_img, cur_img, pts_prev, guess, win: int, iters: int):
     """One pyramid level of iterative LK for all keypoints at once.
 
     pts_prev: [K,2] keypoint coords at this level; guess: [K,2] initial flow.
     Returns (flow [K,2], residual [K]).
+
+    TPU formulation: instead of per-sample scattered gathers (4 image
+    gathers x (2*win+1)^2 samples per point per iteration — both slow and,
+    past ~100 total lk calls in one scan dispatch, a reproducible TPU
+    kernel fault; see docs/FLOW_SCAN_FAULT.md), each point extracts ONE
+    contiguous patch per image access via lax.dynamic_slice on an
+    edge-padded image and does the subpixel bilinear with static in-patch
+    slicing.  Edge padding + clipping the patch CENTER reproduces the
+    clamp-to-border sampling semantics for every in-window sample.
     """
     r = win
-    dy, dx = jnp.mgrid[-r: r + 1, -r: r + 1]
-    dx = dx.reshape(-1).astype(jnp.float32)
-    dy = dy.reshape(-1).astype(jnp.float32)
+    P = 2 * r + 1
+    H, W = prev_img.shape
+    pad_t = r + 2                       # template patch reach: r+1 (grads) +1
+    pad_c = r + 1                       # search patch reach: r +1 (bilinear)
+    prev_p = jnp.pad(prev_img, pad_t, mode="edge")
+    cur_p = jnp.pad(cur_img, pad_c, mode="edge")
+    S_t = 2 * r + 4
+    S_c = 2 * r + 2
 
     def one(pt, g0):
-        px = pt[0] + dx
-        py = pt[1] + dy
-        T = _bilinear(prev_img, px, py)
+        x = jnp.clip(pt[0], 0.0, W - 1.001)
+        y = jnp.clip(pt[1], 0.0, H - 1.001)
+        bx = jnp.floor(x).astype(jnp.int32)
+        by = jnp.floor(y).astype(jnp.int32)
+        fx = x - bx
+        fy = y - by
+        patch = lax.dynamic_slice(
+            prev_p, (by - (r + 1) + pad_t, bx - (r + 1) + pad_t), (S_t, S_t))
+        w00 = (1 - fy) * (1 - fx)
+        w01 = (1 - fy) * fx
+        w10 = fy * (1 - fx)
+        w11 = fy * fx
+
+        def samp(oy, ox):
+            # bilinear window grid at integer offset (oy,ox) from the center
+            i, j = 1 + oy, 1 + ox
+            return (w00 * patch[i:i + P, j:j + P]
+                    + w01 * patch[i:i + P, j + 1:j + P + 1]
+                    + w10 * patch[i + 1:i + P + 1, j:j + P]
+                    + w11 * patch[i + 1:i + P + 1, j + 1:j + P + 1])
+
+        T = samp(0, 0)
         # template gradients (standard LK uses prev-image gradients)
-        Ix = (_bilinear(prev_img, px + 1, py) - _bilinear(prev_img, px - 1, py)) * 0.5
-        Iy = (_bilinear(prev_img, px, py + 1) - _bilinear(prev_img, px, py - 1)) * 0.5
+        Ix = (samp(0, 1) - samp(0, -1)) * 0.5
+        Iy = (samp(1, 0) - samp(-1, 0)) * 0.5
         Gxx = jnp.sum(Ix * Ix)
         Gxy = jnp.sum(Ix * Iy)
         Gyy = jnp.sum(Iy * Iy)
@@ -71,18 +89,30 @@ def _lk_level(prev_img, cur_img, pts_prev, guess, win: int, iters: int):
         ok = det > 1e-6
         inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
 
+        def cur_window(g):
+            qx = jnp.clip(x + g[0], 0.0, W - 1.001)
+            qy = jnp.clip(y + g[1], 0.0, H - 1.001)
+            cbx = jnp.floor(qx).astype(jnp.int32)
+            cby = jnp.floor(qy).astype(jnp.int32)
+            cfx = qx - cbx
+            cfy = qy - cby
+            cp = lax.dynamic_slice(
+                cur_p, (cby - r + pad_c, cbx - r + pad_c), (S_c, S_c))
+            return ((1 - cfy) * (1 - cfx) * cp[:P, :P]
+                    + (1 - cfy) * cfx * cp[:P, 1:P + 1]
+                    + cfy * (1 - cfx) * cp[1:P + 1, :P]
+                    + cfy * cfx * cp[1:P + 1, 1:P + 1])
+
         def body(_, g):
-            I = _bilinear(cur_img, px + g[0], py + g[1])
-            e = I - T
-            bx = jnp.sum(Ix * e)
-            by = jnp.sum(Iy * e)
-            dgx = -(Gyy * bx - Gxy * by) * inv_det
-            dgy = -(-Gxy * bx + Gxx * by) * inv_det
+            e = cur_window(g) - T
+            bx_ = jnp.sum(Ix * e)
+            by_ = jnp.sum(Iy * e)
+            dgx = -(Gyy * bx_ - Gxy * by_) * inv_det
+            dgy = -(-Gxy * bx_ + Gxx * by_) * inv_det
             return g + jnp.stack([dgx, dgy])
 
         g = lax.fori_loop(0, iters, body, g0)
-        I = _bilinear(cur_img, px + g[0], py + g[1])
-        err = jnp.mean(jnp.abs(I - T))
+        err = jnp.mean(jnp.abs(cur_window(g) - T))
         return g, err, ok
 
     flow, err, ok = jax.vmap(one)(pts_prev, guess)

@@ -159,8 +159,8 @@ class TestEngineE2E:
         np.testing.assert_array_equal(np.asarray(r1.pose), np.asarray(r2.pose))
 
     def test_flow_chunk_slicing_matches_single_dispatch(self):
-        """OPTICAL_FLOW chunks are auto-sliced to 32 frames per dispatch
-        (TPU-runtime workaround); slicing must not change results."""
+        """Splitting an OPTICAL_FLOW chunk across process_chunk calls must
+        not change results (state threads through the carry on device)."""
         import dataclasses
         import jax.numpy as jnp
         from rso.config import IFMatchMethod
