@@ -53,6 +53,11 @@ def main():
         "baseline_kind": base_kind,
         "ate_rmse_m": round(out["ate_rmse_m"], 4),
         "ba_iters_per_sec": round(out["ba_iters_per_sec"], 1),
+        "detect_ms_per_image": round(out["detect_ms_per_image"], 4),
+        "detect_hbm_gbps_model": round(out["detect_hbm_gbps_model"], 1),
+        "detect_hbm_util_vs_v5e_peak": (
+            round(out["detect_hbm_util_vs_v5e_peak"], 3)
+            if out["detect_hbm_util_vs_v5e_peak"] is not None else None),
         "backend": out["backend"],
         "device": out["device"],
     }

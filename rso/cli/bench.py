@@ -119,11 +119,58 @@ def run_bench(n_frames: int = 120, n_points: int = 2000, warmup: int = 3,
     jax.block_until_ready(out.poses)
     ba_iters_per_sec = int(out.n_iters) / (time.perf_counter() - t0)
 
+    # detect-stage HBM accounting (the step's largest stage).  Detection is
+    # bandwidth-bound, not FLOP-bound (its only "matmuls" are 3x3 box sums),
+    # so speed-of-light is HBM bytes, not MXU FLOPs.  Byte model per f32
+    # image pass over H*W px: FAST bit-pack reads the image once and writes
+    # two u32 mask planes (3 passes), Shi-Tomasi writes+reads gx,gy, runs two
+    # separable box-sum sweeps over three products and writes the response
+    # (~8 passes), NMS reduce_window + masked select reads/writes the
+    # response (3 passes), top-K reads it once (1 pass) => ~15 f32-plane
+    # passes.  Reported utilization is against the v5e HBM peak when on TPU.
+    from jax import lax as _lax
+
+    from rso.frontend.detect import detect_features
+
+    img0 = jnp.asarray(seq.frames[0][0], jnp.float32)
+
+    def _det(img):
+        f = detect_features(img, eng.cfg.detect,
+                            eng.cfg.tpu.max_kps_per_octave, jnp.int32(20),
+                            False, arc=eng.cfg.tpu.fast_arc,
+                            topk_recall=eng.cfg.tpu.topk_recall)
+        return f.response.sum()
+
+    def _t_of(n, passes=3):
+        def body(c, _):
+            return c + _det(img0 + c * jnp.float32(1e-9)), None
+
+        run = jax.jit(lambda: _lax.scan(body, jnp.float32(0), None,
+                                        length=n)[0])
+        jax.block_until_ready(run())
+        best = 1e9
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    detect_s = max((_t_of(90) - _t_of(30)) / 60.0, 1e-9)
+    model_passes = 15
+    detect_bytes = model_passes * width * height * 4
+    detect_gbps = detect_bytes / detect_s / 1e9
+    V5E_HBM_PEAK_GBPS = 819.0
+    on_tpu = jax.default_backend() not in ("cpu",)
+
     return {
         "fps": fps,
         "fps_live_per_dispatch": fps_live,
         "ba_iters_per_sec": ba_iters_per_sec,
         "ate_rmse_m": ate,
+        "detect_ms_per_image": detect_s * 1e3,
+        "detect_hbm_gbps_model": detect_gbps,
+        "detect_hbm_util_vs_v5e_peak": (detect_gbps / V5E_HBM_PEAK_GBPS
+                                        if on_tpu else None),
         "n_frames": n_frames,
         "image": f"{width}x{height}",
         "backend": jax.default_backend(),
