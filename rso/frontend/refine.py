@@ -11,30 +11,24 @@ which propagates directly into the GN pose and the BA window.
 
 Runs inside the jitted step; needs only the current octave image and the
 previous patches already carried in EngineState (no extra state).
+
+TPU formulation: the current-image window is ONE contiguous
+lax.dynamic_slice per iteration on an edge-padded image, with the subpixel
+bilinear done by static in-patch slicing — the same patch-based rewrite as
+rso/frontend/optical_flow.py (the per-sample gather formulation this
+replaces belongs to the kernel-fault class documented in
+docs/FLOW_SCAN_FAULT.md).  Edge padding + clipping the window CENTER
+reproduces the old clamp-to-border sampling for every in-bounds sample.
 """
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-_DY, _DX = np.mgrid[-3:5, -3:5]  # the 8x8 SAD window convention (x-3..x+4)
-
-
-def _bilinear(img, x, y):
-    H, W = img.shape
-    xf = jnp.clip(x, 0.0, W - 1.001)
-    yf = jnp.clip(y, 0.0, H - 1.001)
-    x0 = xf.astype(jnp.int32)
-    y0 = yf.astype(jnp.int32)
-    fx = xf - x0
-    fy = yf - y0
-    Ia = img[y0, x0]
-    Ib = img[y0, x0 + 1]
-    Ic = img[y0 + 1, x0]
-    Id = img[y0 + 1, x0 + 1]
-    return (Ia * (1 - fx) + Ib * fx) * (1 - fy) + (Ic * (1 - fx) + Id * fx) * fy
+# The 8x8 SAD window convention: integer offsets x-3..x+4 (computeSAD8 range).
+_PAD = 5          # covers offset reach -3..+5 (bilinear high tap) at any clip
+_S = 9            # slice size: offsets -3..+5 inclusive
 
 
 def refine_positions(
@@ -46,15 +40,14 @@ def refine_positions(
     max_shift: float = 2.0,
 ) -> jnp.ndarray:
     """Return refined [K,2] positions (invalid slots pass through)."""
-    dxs = jnp.asarray(_DX.reshape(-1), jnp.float32)
-    dys = jnp.asarray(_DY.reshape(-1), jnp.float32)
+    H, W = img.shape
+    img_p = jnp.pad(img, _PAD, mode="edge")
 
     def one(t, p):
-        T = t  # [64]
+        T = t.reshape(8, 8)
         # template gradients from the template itself (inverse compositional):
-        Tg = T.reshape(8, 8)
-        gx = jnp.zeros((8, 8)).at[:, 1:7].set((Tg[:, 2:] - Tg[:, :-2]) * 0.5).reshape(-1)
-        gy = jnp.zeros((8, 8)).at[1:7, :].set((Tg[2:, :] - Tg[:-2, :]) * 0.5).reshape(-1)
+        gx = jnp.zeros((8, 8)).at[:, 1:7].set((T[:, 2:] - T[:, :-2]) * 0.5)
+        gy = jnp.zeros((8, 8)).at[1:7, :].set((T[2:, :] - T[:-2, :]) * 0.5)
         Gxx = jnp.sum(gx * gx)
         Gxy = jnp.sum(gx * gy)
         Gyy = jnp.sum(gy * gy)
@@ -62,17 +55,29 @@ def refine_positions(
         ok = det > 1e-6
         inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
 
+        def window(d):
+            qx = jnp.clip(p[0] + d[0], 0.0, W - 1.001)
+            qy = jnp.clip(p[1] + d[1], 0.0, H - 1.001)
+            bx = jnp.floor(qx).astype(jnp.int32)
+            by = jnp.floor(qy).astype(jnp.int32)
+            fx = qx - bx
+            fy = qy - by
+            cp = lax.dynamic_slice(
+                img_p, (by - 3 + _PAD, bx - 3 + _PAD), (_S, _S))
+            return ((1 - fy) * (1 - fx) * cp[:8, :8]
+                    + (1 - fy) * fx * cp[:8, 1:9]
+                    + fy * (1 - fx) * cp[1:9, :8]
+                    + fy * fx * cp[1:9, 1:9])
+
         def ssd(d):
-            I = _bilinear(img, p[0] + d[0] + dxs, p[1] + d[1] + dys)
-            return jnp.sum((I - T) ** 2)
+            return jnp.sum((window(d) - T) ** 2)
 
         def body(_, d):
-            I = _bilinear(img, p[0] + d[0] + dxs, p[1] + d[1] + dys)
-            e = I - T
-            bx = jnp.sum(gx * e)
-            by = jnp.sum(gy * e)
-            ddx = -(Gyy * bx - Gxy * by) * inv
-            ddy = -(-Gxy * bx + Gxx * by) * inv
+            e = window(d) - T
+            bx_ = jnp.sum(gx * e)
+            by_ = jnp.sum(gy * e)
+            ddx = -(Gyy * bx_ - Gxy * by_) * inv
+            ddy = -(-Gxy * bx_ + Gxx * by_) * inv
             d = d + jnp.stack([ddx, ddy])
             return jnp.clip(d, -max_shift, max_shift)
 

@@ -235,3 +235,52 @@ class TestTrack:
         trk = track_interframe(pl, pr, pm, cl, cr, cm, cfg.if_match,
                                jax.random.PRNGKey(0))
         assert int(trk.n_tracked) > 30
+
+
+class TestRefine:
+    """refine_positions: translation-only inverse-compositional LK on stored
+    8x8 templates (patch-based formulation; docs/FLOW_SCAN_FAULT.md)."""
+
+    def _scene(self, seed=0):
+        rng = np.random.default_rng(seed)
+        img = rng.uniform(0, 255, (120, 160)).astype(np.float32)
+        # smooth so subpixel interpolation is meaningful
+        k = np.array([0.25, 0.5, 0.25])
+        for ax in (0, 1):
+            img = np.apply_along_axis(
+                lambda m: np.convolve(m, k, mode="same"), ax, img)
+        return jnp.asarray(img)
+
+    def _template(self, img, x, y):
+        """8x8 bilinear patch at subpixel center (x,y), offsets -3..+4."""
+        dy, dx = np.mgrid[-3:5, -3:5]
+        xs, ys = x + dx.ravel(), y + dy.ravel()
+        x0, y0 = np.floor(xs).astype(int), np.floor(ys).astype(int)
+        fx, fy = xs - x0, ys - y0
+        a = np.asarray(img)
+        v = (a[y0, x0] * (1 - fy) * (1 - fx) + a[y0, x0 + 1] * (1 - fy) * fx
+             + a[y0 + 1, x0] * fy * (1 - fx) + a[y0 + 1, x0 + 1] * fy * fx)
+        return v.astype(np.float32)
+
+    def test_recovers_subpixel_shift(self):
+        from rso.frontend.refine import refine_positions
+
+        img = self._scene()
+        true = np.array([[50.3, 40.7], [80.6, 60.2], [30.4, 90.8]], np.float32)
+        temps = jnp.asarray(np.stack([self._template(img, x, y)
+                                      for x, y in true]))
+        start = jnp.asarray(true + np.array([[0.8, -0.6], [-0.7, 0.9],
+                                             [0.5, 0.5]], np.float32))
+        out = refine_positions(img, temps, start, jnp.ones(3, bool), iters=5)
+        err = np.abs(np.asarray(out) - true)
+        assert err.max() < 0.15, err
+
+    def test_invalid_and_flat_pass_through(self):
+        from rso.frontend.refine import refine_positions
+
+        img = jnp.full((64, 64), 100.0)
+        temps = jnp.full((2, 64), 100.0)
+        xy = jnp.asarray([[20.0, 20.0], [40.0, 40.0]])
+        out = refine_positions(img, temps, xy, jnp.asarray([True, False]))
+        # flat template -> singular normal matrix -> no update; invalid -> none
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xy))
