@@ -18,6 +18,8 @@ PAGES = [
     ("index", "README.md", "Overview"),
     ("architecture", "docs/ARCHITECTURE.md", "Architecture"),
     ("modes", "docs/MODES.md", "Mode matrix & envelopes"),
+    ("marginalization", "docs/MARGINALIZATION.md", "Marginalization study"),
+    ("flow-fault", "docs/FLOW_SCAN_FAULT.md", "Flow-mode scan fault"),
     ("baseline", "BASELINE.md", "Performance baseline"),
     ("parity", "PARITY.md", "Reference parity map"),
 ]
