@@ -12,7 +12,10 @@ Usage: tools/tpu_run.sh tools/eval_modes.py [--frames N] [--scene blob|textured]
 import argparse
 import dataclasses
 import json
+import os
+import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
