@@ -235,9 +235,12 @@ class TPUParams:
     use_pallas_detect: bool = False
     # LK subpixel alignment of tracked observations against the previous
     # frame's stored patches before the pose solve (rso.frontend.refine) —
-    # gated on per-feature SSD improvement; accuracy-neutral on the synthetic
-    # blob data (error there is match-structure-limited), expected to help on
-    # gradient-rich real imagery — off by default until validated on KITTI
+    # gated on per-feature SSD improvement.  Measured: improves ATE 6-15% in
+    # 6/6 seed x speed configs on the textured corridor (real-image
+    # statistics; tools/exp_refine_texture.py), accuracy-neutral on blob
+    # fields (match-structure-limited there).  Off in the bare default
+    # (costs step time for nothing on blob benches); ON in the dataset
+    # presets configs/{kitti,euroc,malaga}.ini.
     subpixel_track_refine: bool = False
     # Run the dense detection passes (FAST segment test + Shi-Tomasi/Harris
     # structure tensor) in bfloat16.  Detection is HBM-bound at f32
