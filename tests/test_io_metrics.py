@@ -208,6 +208,26 @@ vo_out_dir = /tmp/x
         assert error_name(1) == "voecBadTracking"
         assert error_name(99).startswith("unknown")
 
+    @pytest.mark.parametrize("preset", ["kitti", "euroc", "malaga"])
+    def test_dataset_presets_load_and_run(self, preset):
+        """Every shipped preset INI must load and drive the engine end-to-end
+        (including the [TPU] extension section, e.g. subpixel_track_refine)."""
+        import os
+
+        import numpy as np
+
+        from rso.engine import Engine
+        from rso.synthetic import make_textured_sequence
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = load_config(os.path.join(root, "configs", f"{preset}.ini"))
+        assert cfg.tpu.subpixel_track_refine is True  # preset ships it on
+        seq = make_textured_sequence(n_frames=3, seed=0)
+        eng = Engine(cfg, seq.cam)
+        results = [eng.process_frame(l, r) for l, r in seq.frames]
+        assert any(bool(r.valid) for r in results[1:]), preset
+        assert int(np.asarray(results[1].detected_feats).sum()) > 50
+
 
 class TestProfiler:
     def test_spans(self):
