@@ -6,19 +6,22 @@ tracked coordinates inherit integer detection quantization, which puts a
 current-frame observation against the stored previous-frame 8x8 patch
 (template) with a few Gauss-Newton LK iterations — a translation-only,
 fixed-iteration inverse-compositional solve, vectorized over all tracked
-features.  The measured inter-frame flow precision improves to ~0.05-0.1 px,
-which propagates directly into the GN pose and the BA window.
+features.  Measured effect: ATE improves 6-15% in 6/6 seed x speed configs
+on the textured corridor (tools/exp_refine_texture.py).
 
 Runs inside the jitted step; needs only the current octave image and the
 previous patches already carried in EngineState (no extra state).
 
-TPU formulation: the current-image window is ONE contiguous
-lax.dynamic_slice per iteration on an edge-padded image, with the subpixel
-bilinear done by static in-patch slicing — the same patch-based rewrite as
-rso/frontend/optical_flow.py (the per-sample gather formulation this
-replaces belongs to the kernel-fault class documented in
-docs/FLOW_SCAN_FAULT.md).  Edge padding + clipping the window CENTER
-reproduces the old clamp-to-border sampling for every in-bounds sample.
+TPU formulation (v2): the iteration never touches the full image.  One
+batched 16x16 patch per keypoint is pulled up front with the detector's
+profiled row-take + one-hot-lane extractor (detect.extract_patches); every
+LK iteration then works on the [K,16,16] tensor with a tiny vmapped
+dynamic_slice + static bilinear mixing.  The v1 formulation (one 9x9
+dynamic_slice FROM THE FULL IMAGE per keypoint per iteration) lowered to
+scattered HBM gathers and cost 7.7 ms/step at K=512 x 2 eyes x 3 octaves
+(tools/exp_refine_cost.py); v1 itself replaced a per-sample gather bilinear
+of the kernel-fault class documented in docs/FLOW_SCAN_FAULT.md.
+Edge padding reproduces clamp-to-border sampling for out-of-image taps.
 """
 from __future__ import annotations
 
@@ -26,9 +29,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# The 8x8 SAD window convention: integer offsets x-3..x+4 (computeSAD8 range).
-_PAD = 5          # covers offset reach -3..+5 (bilinear high tap) at any clip
-_S = 9            # slice size: offsets -3..+5 inclusive
+from rso.frontend.detect import extract_patches
+
+_PAD = 8    # patch half-size: covers window reach (-3..+4) + shift (+-2.5) + 1
+_S = 16
 
 
 def refine_positions(
@@ -42,8 +46,19 @@ def refine_positions(
     """Return refined [K,2] positions (invalid slots pass through)."""
     H, W = img.shape
     img_p = jnp.pad(img, _PAD, mode="edge")
+    x = jnp.clip(xy[:, 0], 0.0, W - 1.0)
+    y = jnp.clip(xy[:, 1], 0.0, H - 1.0)
+    cx = jnp.round(x).astype(jnp.int32)
+    cy = jnp.round(y).astype(jnp.int32)
+    # one batched extraction: [K,16,16] windows centered on the rounded
+    # start position (patch index _PAD,_PAD == image pixel (cy,cx))
+    centers = jnp.stack([(cx + _PAD).astype(jnp.float32),
+                         (cy + _PAD).astype(jnp.float32)], axis=1)
+    patches = extract_patches(img_p, centers, size=_S,
+                              offset=_PAD).reshape(-1, _S, _S)
+    frac = jnp.stack([x - cx, y - cy], axis=1)   # in [-0.5, 0.5]
 
-    def one(t, p):
+    def one(t, patch, r):
         T = t.reshape(8, 8)
         # template gradients from the template itself (inverse compositional):
         gx = jnp.zeros((8, 8)).at[:, 1:7].set((T[:, 2:] - T[:, :-2]) * 0.5)
@@ -55,15 +70,26 @@ def refine_positions(
         ok = det > 1e-6
         inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
 
+        idx = jnp.arange(_S, dtype=jnp.int32)
+        nine = jnp.arange(9, dtype=jnp.int32)
+
         def window(d):
-            qx = jnp.clip(p[0] + d[0], 0.0, W - 1.001)
-            qy = jnp.clip(p[1] + d[1], 0.0, H - 1.001)
-            bx = jnp.floor(qx).astype(jnp.int32)
-            by = jnp.floor(qy).astype(jnp.int32)
-            fx = qx - bx
-            fy = qy - by
-            cp = lax.dynamic_slice(
-                img_p, (by - 3 + _PAD, bx - 3 + _PAD), (_S, _S))
+            # 8x8 bilinear window at real-valued in-patch offset r+d from
+            # the patch center; all taps stay inside the 16x16 patch for
+            # |r| <= 0.5, |d| <= max_shift (floor in [-3..2], tap <= 15).
+            # The 9x9 integer window is cut out with one-hot row/column
+            # matmuls — static shapes, no gather: a vmapped dynamic_slice
+            # here lowered to scattered gathers costing ~1.8 ms per window
+            # eval at K=512 (tools/exp_refine_prof.py).
+            q = r + d
+            bx = jnp.clip(jnp.floor(q[0]).astype(jnp.int32), -3, 2)
+            by = jnp.clip(jnp.floor(q[1]).astype(jnp.int32), -3, 2)
+            fx = q[0] - bx
+            fy = q[1] - by
+            rsel = (idx[None, :] == (_PAD + by - 3 + nine)[:, None])
+            csel = (idx[None, :] == (_PAD + bx - 3 + nine)[:, None])
+            cp = (rsel.astype(patch.dtype) @ patch
+                  @ csel.astype(patch.dtype).T)
             return ((1 - fy) * (1 - fx) * cp[:8, :8]
                     + (1 - fy) * fx * cp[:8, 1:9]
                     + fy * (1 - fx) * cp[1:9, :8]
@@ -87,5 +113,8 @@ def refine_positions(
         improved = ssd(d) < 0.9 * ssd(jnp.zeros(2))
         return jnp.where(ok & improved, d, jnp.zeros(2))
 
-    delta = jax.vmap(one)(templates, xy)
-    return jnp.where(valid[:, None], xy + delta, xy)
+    delta = jax.vmap(one)(templates, patches, frac)
+    # delta is relative to the rounded center; rebase onto the true start
+    refined = jnp.stack([cx.astype(xy.dtype), cy.astype(xy.dtype)],
+                        axis=1) + frac + delta
+    return jnp.where(valid[:, None], refined, xy)
