@@ -31,44 +31,75 @@ class FlowResult(NamedTuple):
     err: jnp.ndarray      # [K] mean abs residual at the solution
 
 
+_LK_SLACK = 5    # in-patch drift allowance per level beyond the initial guess
+
+
 def _lk_level(prev_img, cur_img, pts_prev, guess, win: int, iters: int):
     """One pyramid level of iterative LK for all keypoints at once.
 
     pts_prev: [K,2] keypoint coords at this level; guess: [K,2] initial flow.
     Returns (flow [K,2], residual [K]).
 
-    TPU formulation: instead of per-sample scattered gathers (4 image
-    gathers x (2*win+1)^2 samples per point per iteration — both slow and,
-    past ~100 total lk calls in one scan dispatch, a reproducible TPU
-    kernel fault; see docs/FLOW_SCAN_FAULT.md), each point extracts ONE
-    contiguous patch per image access via lax.dynamic_slice on an
-    edge-padded image and does the subpixel bilinear with static in-patch
-    slicing.  Edge padding + clipping the patch CENTER reproduces the
-    clamp-to-border sampling semantics for every in-window sample.
+    TPU formulation (v3): the iteration never touches the full image.  Two
+    batched patch pulls per level (template [K,S_t,S_t] around the keypoint,
+    search [K,S_c,S_c] around the initial guess) via the detector's profiled
+    row-take extractor, then every LK iteration cuts its bilinear window
+    from the small search patch with one-hot row/column matmuls — static
+    shapes, no gather.  History of this function (docs/FLOW_SCAN_FAULT.md):
+    v1 per-sample gather bilinear faulted the TPU runtime inside long scans;
+    v2 fixed that with one lax.dynamic_slice from the padded full image per
+    iteration, but vmapped dynamic_slice with per-keypoint starts lowers to
+    scattered HBM gathers costing ~64 ms/step in flow mode
+    (tools/exp_flow_cost.py).  v3 is bit-identical to v2 for every iterate
+    whose integer window base stays within _LK_SLACK px of the initial
+    guess (coarse-to-fine refinement is a few px per level); beyond that
+    the window clamps to the patch edge, the residual grows, and the err
+    gate flags the track — v2 instead kept sampling, so v3 is slightly
+    stricter on wild tracks.
     """
+    from rso.frontend.detect import extract_patches
+
     r = win
     P = 2 * r + 1
+    M = _LK_SLACK
     H, W = prev_img.shape
     pad_t = r + 2                       # template patch reach: r+1 (grads) +1
-    pad_c = r + 1                       # search patch reach: r +1 (bilinear)
+    pad_c = r + 1 + M                   # search reach: r +1 (bilinear) +slack
     prev_p = jnp.pad(prev_img, pad_t, mode="edge")
     cur_p = jnp.pad(cur_img, pad_c, mode="edge")
     S_t = 2 * r + 4
-    S_c = 2 * r + 2
+    S_c = 2 * r + 2 + 2 * M
+    assert S_t <= 32 and S_c <= 32, "extract_patches lane limit"
 
-    def one(pt, g0):
-        x = jnp.clip(pt[0], 0.0, W - 1.001)
-        y = jnp.clip(pt[1], 0.0, H - 1.001)
-        bx = jnp.floor(x).astype(jnp.int32)
-        by = jnp.floor(y).astype(jnp.int32)
-        fx = x - bx
-        fy = y - by
-        patch = lax.dynamic_slice(
-            prev_p, (by - (r + 1) + pad_t, bx - (r + 1) + pad_t), (S_t, S_t))
-        w00 = (1 - fy) * (1 - fx)
-        w01 = (1 - fy) * fx
-        w10 = fy * (1 - fx)
-        w11 = fy * fx
+    x = jnp.clip(pts_prev[:, 0], 0.0, W - 1.001)
+    y = jnp.clip(pts_prev[:, 1], 0.0, H - 1.001)
+    bx = jnp.floor(x).astype(jnp.int32)
+    by = jnp.floor(y).astype(jnp.int32)
+    fx = x - bx.astype(x.dtype)
+    fy = y - by.astype(y.dtype)
+    # template patches: row/col 0 = image row by-(r+1) / col bx-(r+1)
+    t_centers = jnp.stack([(bx + pad_t).astype(jnp.float32),
+                           (by + pad_t).astype(jnp.float32)], axis=1)
+    Tpatches = extract_patches(prev_p, t_centers, size=S_t,
+                               offset=r + 1).reshape(-1, S_t, S_t)
+    # search patches around the initial guess: row 0 = image row cby0-r-M
+    qx0 = jnp.clip(x + guess[:, 0], 0.0, W - 1.001)
+    qy0 = jnp.clip(y + guess[:, 1], 0.0, H - 1.001)
+    cbx0 = jnp.floor(qx0).astype(jnp.int32)
+    cby0 = jnp.floor(qy0).astype(jnp.int32)
+    c_centers = jnp.stack([(cbx0 + pad_c).astype(jnp.float32),
+                           (cby0 + pad_c).astype(jnp.float32)], axis=1)
+    Cpatches = extract_patches(cur_p, c_centers, size=S_c,
+                               offset=r + M).reshape(-1, S_c, S_c)
+
+    lanes = jnp.arange(S_c, dtype=jnp.int32)
+    taps = jnp.arange(P + 1, dtype=jnp.int32)
+
+    def one(patch, cpatch, x1, y1, fx1, fy1, cbx1, cby1, g0):
+        w00 = (1 - fy1) * (1 - fx1)
+        w01 = (1 - fy1) * fx1
+        w10 = fy1 * (1 - fx1)
+        w11 = fy1 * fx1
 
         def samp(oy, ox):
             # bilinear window grid at integer offset (oy,ox) from the center
@@ -90,14 +121,18 @@ def _lk_level(prev_img, cur_img, pts_prev, guess, win: int, iters: int):
         inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
 
         def cur_window(g):
-            qx = jnp.clip(x + g[0], 0.0, W - 1.001)
-            qy = jnp.clip(y + g[1], 0.0, H - 1.001)
+            qx = jnp.clip(x1 + g[0], 0.0, W - 1.001)
+            qy = jnp.clip(y1 + g[1], 0.0, H - 1.001)
             cbx = jnp.floor(qx).astype(jnp.int32)
             cby = jnp.floor(qy).astype(jnp.int32)
-            cfx = qx - cbx
-            cfy = qy - cby
-            cp = lax.dynamic_slice(
-                cur_p, (cby - r + pad_c, cbx - r + pad_c), (S_c, S_c))
+            cfx = qx - cbx.astype(qx.dtype)
+            cfy = qy - cby.astype(qy.dtype)
+            dbx = jnp.clip(cbx - cbx1, -M, M)
+            dby = jnp.clip(cby - cby1, -M, M)
+            rsel = (lanes[None, :] == (M + dby + taps)[:, None])
+            csel = (lanes[None, :] == (M + dbx + taps)[:, None])
+            cp = (rsel.astype(cpatch.dtype) @ cpatch
+                  @ csel.astype(cpatch.dtype).T)   # [P+1, P+1]
             return ((1 - cfy) * (1 - cfx) * cp[:P, :P]
                     + (1 - cfy) * cfx * cp[:P, 1:P + 1]
                     + cfy * (1 - cfx) * cp[1:P + 1, :P]
@@ -115,7 +150,8 @@ def _lk_level(prev_img, cur_img, pts_prev, guess, win: int, iters: int):
         err = jnp.mean(jnp.abs(cur_window(g) - T))
         return g, err, ok
 
-    flow, err, ok = jax.vmap(one)(pts_prev, guess)
+    flow, err, ok = jax.vmap(one)(Tpatches, Cpatches, x, y, fx, fy,
+                                  cbx0, cby0, guess)
     return flow, err, ok
 
 
