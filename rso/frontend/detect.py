@@ -310,6 +310,42 @@ def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
 # Patches & descriptors
 # ---------------------------------------------------------------------------
 
+def _extract_rect(img: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
+                  size_y: int, size_x: int) -> jnp.ndarray:
+    """Batched size_y x size_x window pull at integer top-left corners
+    (x0, y0 [K] int32, caller-clamped in-range) -> [K, size_y, size_x].
+
+    TPU-profiled formulation: pointwise 2D gathers cost ~10ns/element on the
+    scalar unit, but full-row takes vectorize.  So gather whole 64-wide
+    window rows (stride-32 overlapping windows built by plain slicing), then
+    pick the size_x lanes with an exact one-hot multiply-sum on the VPU.
+    1.57ms -> 1.16ms for [512,8,8] on v5e; bit-exact (one-hot is 0/1 f32).
+    size_x <= 32 keeps the lane offset within the 64-lane window for any
+    in-range x0 (off <= 64 - size_x both when the stride-32 window index is
+    exact and when it clamps at the right edge).
+    """
+    assert size_x <= 32
+    H, W = img.shape
+    K = x0.shape[0]
+    Wp = -(-W // 64) * 64
+    imp = jnp.pad(img, ((0, 0), (0, Wp - W)))
+    n_win = (Wp - 64) // 32 + 1
+    win = jnp.stack([lax.slice(imp, (0, 32 * i), (H, 32 * i + 64))
+                     for i in range(n_win)], axis=1)      # [H, n_win, 64]
+    wi = jnp.clip(x0 // 32, 0, n_win - 1)                 # window index [K]
+    off = x0 - 32 * wi                                    # lane offset
+    rows = y0[:, None] + jnp.arange(size_y, dtype=jnp.int32)[None, :]
+    ridx = (rows * n_win + wi[:, None]).reshape(-1)                   # [K*sy]
+    rowvals = jnp.take(win.reshape(H * n_win, 64), ridx, axis=0)      # [K*sy,64]
+    lane = jnp.arange(64, dtype=jnp.int32)
+    offb = jnp.repeat(off, size_y)                                    # [K*sy]
+    sel = (lane[None, :, None] ==
+           (offb[:, None, None]
+            + jnp.arange(size_x, dtype=jnp.int32)[None, None, :]))
+    out = jnp.sum(rowvals[:, :, None] * sel.astype(img.dtype), axis=1)
+    return out.reshape(K, size_y, size_x)
+
+
 def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, size: int = 8,
                     offset: int = 3) -> jnp.ndarray:
     """Gather size x size patches at integer keypoint coords -> [K, size*size].
@@ -322,29 +358,22 @@ def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, size: int = 8,
     K = xy.shape[0]
     x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - offset, 0, W - size)
     y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - offset, 0, H - size)
+    return _extract_rect(img, x0, y0, size, size).reshape(K, size * size)
 
-    # TPU-profiled formulation: pointwise 2D gathers cost ~10ns/element on the
-    # scalar unit, but full-row takes vectorize.  So gather whole 64-wide
-    # window rows (stride-32 overlapping windows built by plain slicing), then
-    # pick the size lanes with an exact one-hot multiply-sum on the VPU.
-    # 1.57ms -> 1.16ms for [512,8,8] on v5e; bit-exact (one-hot is 0/1 f32).
-    assert size <= 32
-    Wp = -(-W // 64) * 64
-    imp = jnp.pad(img, ((0, 0), (0, Wp - W)))
-    n_win = (Wp - 64) // 32 + 1
-    win = jnp.stack([lax.slice(imp, (0, 32 * i), (H, 32 * i + 64))
-                     for i in range(n_win)], axis=1)      # [H, n_win, 64]
-    wi = jnp.clip(x0 // 32, 0, n_win - 1)                 # window index [K]
-    off = x0 - 32 * wi                                    # lane offset in [0, 64-size]
-    rows = y0[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]   # [K,size]
-    ridx = (rows * n_win + wi[:, None]).reshape(-1)                   # [K*size]
-    rowvals = jnp.take(win.reshape(H * n_win, 64), ridx, axis=0)      # [K*size,64]
-    lane = jnp.arange(64, dtype=jnp.int32)
-    offb = jnp.repeat(off, size)                                      # [K*size]
-    sel = (lane[None, :, None] ==
-           (offb[:, None, None] + jnp.arange(size, dtype=jnp.int32)[None, None, :]))
-    out = jnp.sum(rowvals[:, :, None] * sel.astype(img.dtype), axis=1)
-    return out.reshape(K, size * size)
+
+def extract_patches_wide(img: jnp.ndarray, xy: jnp.ndarray, size: int,
+                         offset: int) -> jnp.ndarray:
+    """extract_patches for size in (32, 64]: two lane pulls, concatenated.
+
+    Same clamp semantics (whole window clipped to the image as one unit).
+    """
+    assert 32 < size <= 64
+    H, W = img.shape
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - offset, 0, W - size)
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - offset, 0, H - size)
+    left = _extract_rect(img, x0, y0, size, 32)
+    right = _extract_rect(img, x0 + 32, y0, size, size - 32)
+    return jnp.concatenate([left, right], axis=2)
 
 
 def orb_orientation(patch31: jnp.ndarray) -> jnp.ndarray:
@@ -357,23 +386,6 @@ def orb_orientation(patch31: jnp.ndarray) -> jnp.ndarray:
     m10 = jnp.sum(patch31 * wx)
     m01 = jnp.sum(patch31 * wy)
     return jnp.arctan2(m01, m10)
-
-
-def _bilinear_patch_sample(patch: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """Bilinear sample a [P,P] patch at float coords (origin = patch center)."""
-    P = patch.shape[0]
-    c = (P - 1) / 2.0
-    xf = jnp.clip(x + c, 0.0, P - 1.001)
-    yf = jnp.clip(y + c, 0.0, P - 1.001)
-    x0 = xf.astype(jnp.int32)
-    y0 = yf.astype(jnp.int32)
-    fx = xf - x0
-    fy = yf - y0
-    Ia = patch[y0, x0]
-    Ib = patch[y0, x0 + 1]
-    Ic = patch[y0 + 1, x0]
-    Id = patch[y0 + 1, x0 + 1]
-    return (Ia * (1 - fx) + Ib * fx) * (1 - fy) + (Ic * (1 - fx) + Id * fx) * fy
 
 
 def orb_descriptors(img: jnp.ndarray, xy: jnp.ndarray,
@@ -393,11 +405,14 @@ def orb_descriptors(img: jnp.ndarray, xy: jnp.ndarray,
     """
     pattern = jnp.asarray(_BRIEF_PATTERN)  # [256,2,2]
 
-    def one(kp):
-        H, W = img.shape
-        x0 = jnp.clip(jnp.round(kp[0]).astype(jnp.int32) - _PATCH_R, 0, W - _PATCH)
-        y0 = jnp.clip(jnp.round(kp[1]).astype(jnp.int32) - _PATCH_R, 0, H - _PATCH)
-        patch = lax.dynamic_slice(img, (y0, x0), (_PATCH, _PATCH))
+    # ONE batched pull of all descriptor patches (a per-keypoint
+    # dynamic_slice from the HBM image lowers to scattered gathers — the
+    # slow pattern measured in tools/exp_refine_prof.py / exp_mode_cost.py)
+    patches = extract_patches_wide(img, xy, size=_PATCH, offset=_PATCH_R)
+
+    lanes = jnp.arange(_PATCH, dtype=jnp.int32)
+
+    def one(patch):
         if upright:
             c, s = jnp.float32(1.0), jnp.float32(0.0)
         else:
@@ -412,14 +427,28 @@ def orb_descriptors(img: jnp.ndarray, xy: jnp.ndarray,
         pp = jnp.pad(rows, ((0, 0), (2, 2)))
         sm = sum(pp[:, dx:dx + _PATCH] for dx in range(5))
         # rotate all pattern points
-        px = pattern[..., 0] * c - pattern[..., 1] * s  # [256,2]
-        py = pattern[..., 0] * s + pattern[..., 1] * c
-        v = _bilinear_patch_sample(sm, px.reshape(-1), py.reshape(-1)).reshape(_BRIEF_N, 2)
+        px = (pattern[..., 0] * c - pattern[..., 1] * s).reshape(-1)  # [512]
+        py = (pattern[..., 0] * s + pattern[..., 1] * c).reshape(-1)
+        # bilinear sample via weighted one-hot row/col contraction — static
+        # shapes, no in-patch gather (same clip semantics as the old
+        # pointwise sampler: coords clamped to the patch interior)
+        cc = (_PATCH - 1) / 2.0
+        xf = jnp.clip(px + cc, 0.0, _PATCH - 1.001)
+        yf = jnp.clip(py + cc, 0.0, _PATCH - 1.001)
+        xb = xf.astype(jnp.int32)
+        yb = yf.astype(jnp.int32)
+        fx = xf - xb
+        fy = yf - yb
+        wy = ((lanes[None, :] == yb[:, None]) * (1 - fy)[:, None]
+              + (lanes[None, :] == yb[:, None] + 1) * fy[:, None])  # [512,37]
+        wx = ((lanes[None, :] == xb[:, None]) * (1 - fx)[:, None]
+              + (lanes[None, :] == xb[:, None] + 1) * fx[:, None])
+        v = jnp.einsum("sy,yx,sx->s", wy, sm, wx).reshape(_BRIEF_N, 2)
         bits = (v[:, 0] < v[:, 1]).astype(jnp.uint32)  # [256]
         weights = jnp.asarray((2 ** np.arange(32)).astype(np.uint32))
         return jnp.sum(bits.reshape(8, 32) * weights[None, :], axis=1, dtype=jnp.uint32)
 
-    return jax.vmap(one)(xy)
+    return jax.vmap(one)(patches)
 
 
 # ---------------------------------------------------------------------------
