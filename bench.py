@@ -26,7 +26,21 @@ def _measured_baseline():
             doc = json.load(f)
         for r in doc.get("results", []):
             if r.get("scene") == "blob":   # the bench scene
-                return float(r["fps"]), "measured"
+                kind = "measured"
+                # the artifact is host-specific: flag it when this host does
+                # not match the one that measured it (different CPU/core
+                # count => the baseline FPS is not this machine's)
+                import platform
+                here = (platform.processor() or platform.machine(),
+                        os.cpu_count())
+                there = (doc.get("host_cpu"), doc.get("nproc"))
+                if there != here:
+                    kind = "measured-other-host"
+                    print(f"[bench] BASELINE_MEASURED.json was measured on "
+                          f"{there}, this host is {here}; re-run "
+                          f"tools/measure_baseline.py for a local baseline",
+                          file=sys.stderr)
+                return float(r["fps"]), kind
     except (OSError, ValueError, KeyError):
         pass
     return REFERENCE_FPS_ESTIMATE, "estimate"

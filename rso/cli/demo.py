@@ -71,6 +71,11 @@ class _KeyControl:
         try:
             r, _, _ = select.select([sys.stdin], [], [], timeout)
         except (ValueError, OSError):
+            # stdin is a TTY but not select()-able (e.g. Windows console):
+            # fall back to inert mode permanently, otherwise wait_if_paused
+            # would spin forever with no way to unpause or quit
+            self.tty = False
+            self.paused = False
             return None
         if r:
             ch = sys.stdin.readline().strip().lower()

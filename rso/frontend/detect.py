@@ -480,12 +480,30 @@ def octave_k_slots(orb_nfeats: int, n_octaves: int, k_max: int,
 
 def _orb_level_budgets(k_slots: int, nlevels: int) -> list[int]:
     """Per-level feature budgets, geometric with factor 1/1.2 like cv::ORB's
-    nfeatures-per-level split; sums exactly to k_slots."""
+    nfeatures-per-level split; sums exactly to k_slots with every level >= 1.
+
+    If k_slots < nlevels the ladder is truncated (fewer levels) rather than
+    emitting zero-budget levels, which would crash select_topk at trace time.
+    """
+    nlevels = max(1, min(nlevels, k_slots))
     f = 1.0 / 1.2
     raw = [f ** l for l in range(nlevels)]
     scale = k_slots / sum(raw)
-    ks = [max(8, int(round(r * scale))) for r in raw]
-    ks[0] += k_slots - sum(ks)
+    ks = [max(1, int(round(r * scale))) for r in raw]
+    # make the sum exact, preserving the >=1 floor: walk levels coarse-to-fine
+    # adding/removing one slot at a time (the residue is at most ~nlevels)
+    diff = k_slots - sum(ks)
+    j = 0
+    while diff != 0:
+        i = j % nlevels
+        if diff > 0:
+            ks[i] += 1
+            diff -= 1
+        elif ks[i] > 1:
+            ks[i] -= 1
+            diff += 1
+        j += 1
+    assert sum(ks) == k_slots and all(k >= 1 for k in ks)
     return ks
 
 
@@ -502,8 +520,8 @@ def _detect_orb_multilevel(img: jnp.ndarray, params: DetectParams,
     (stage-3/4 SAD always runs at the octave scale).  All shapes static.
     """
     H, W = img.shape
-    nlevels = params.orb_nlevels
-    budgets = _orb_level_budgets(k_slots, nlevels)
+    budgets = _orb_level_budgets(k_slots, params.orb_nlevels)
+    nlevels = len(budgets)   # may be < orb_nlevels when k_slots is tiny
     xs, rs, vs, ds = [], [], [], []
     for l in range(nlevels):
         s = 1.2 ** l
@@ -527,10 +545,13 @@ def _detect_orb_multilevel(img: jnp.ndarray, params: DetectParams,
             desc = jnp.where(valid[:, None], desc, 0)
         else:
             desc = jnp.zeros((budgets[l], 8), dtype=jnp.uint32)
-        # back to full-resolution coords (clamped inside the base margin)
-        scale_back = jnp.asarray([(W - 1) / (Wl - 1), (H - 1) / (Hl - 1)],
-                                 jnp.float32)
-        xyf = jnp.clip(xy * scale_back[None, :],
+        # back to full-resolution coords (clamped inside the base margin).
+        # jax.image.resize bilinear uses the half-pixel convention, so the
+        # inverse map is (x + 0.5) * (W / Wl) - 0.5, not (W-1)/(Wl-1) scaling
+        # (align-corners) — the latter biases coarse-level keypoints by up to
+        # ~0.5 px near the borders.
+        scale_back = jnp.asarray([W / Wl, H / Hl], jnp.float32)
+        xyf = jnp.clip((xy + 0.5) * scale_back[None, :] - 0.5,
                        jnp.float32(5.0),
                        jnp.asarray([W - 6, H - 6], jnp.float32))
         xs.append(jnp.where(valid[:, None], xyf, 0.0))

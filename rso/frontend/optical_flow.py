@@ -155,6 +155,45 @@ def _lk_level(prev_img, cur_img, pts_prev, guess, win: int, iters: int):
     return flow, err, ok
 
 
+def _coarse_sad_seed(prev_img, cur_img, pts, seed_range: int):
+    """Integer flow seed at the coarsest level: exhaustive 8x8-SAD search
+    over +-seed_range px, formulated as a dense unfold + reduce (no gathers).
+
+    This is the reference's tracking_SAD contract (tracking_SAD.cpp:73-125)
+    applied where pyramidal LK needs it most: the coarsest level has no
+    initial guess, and the v3 one-hot LK window clamps to +-_LK_SLACK px of
+    the guess, so without a seed trackable motion is capped at
+    ~_LK_SLACK * 2^(L-1) full-res px (ADVICE r2: 14 px tracked 9/40 on two
+    levels).  The seed extends the reach to +-(seed_range + _LK_SLACK) at
+    the coarsest level.
+    """
+    from rso.frontend.detect import extract_patches
+
+    assert seed_range <= 12, "search patch must fit the 32-lane extractor"
+    Ms = seed_range
+    S = 8 + 2 * Ms                       # <= 32: one lane pull
+    H, W = prev_img.shape
+    K = pts.shape[0]
+    # pad so border keypoints keep a centered window (extract_patches clamps
+    # the whole window inside the image, which would bias the seed at edges)
+    prev_p = jnp.pad(prev_img, Ms, mode="edge")
+    cur_p = jnp.pad(cur_img, Ms, mode="edge")
+    ctr = pts + Ms
+    T = extract_patches(prev_p, ctr, size=8, offset=3).reshape(K, 8, 8)
+    Spatch = extract_patches(cur_p, ctr, size=S, offset=3 + Ms)
+    Spatch = Spatch.reshape(K, S, S)
+    # all 8x8 windows of each search patch: [K, 64, 2Ms+1, 2Ms+1]
+    windows = lax.conv_general_dilated_patches(
+        Spatch[:, None], filter_shape=(8, 8), window_strides=(1, 1),
+        padding="VALID")
+    sad = jnp.sum(jnp.abs(windows - T.reshape(K, 64, 1, 1)), axis=1)
+    D = 2 * Ms + 1
+    idx = jnp.argmin(sad.reshape(K, D * D), axis=1).astype(jnp.int32)
+    dy = idx // D - Ms
+    dx = idx % D - Ms
+    return jnp.stack([dx, dy], axis=1).astype(pts.dtype)
+
+
 def lk_track(
     prev_pyr: list,
     cur_pyr: list,
@@ -163,8 +202,16 @@ def lk_track(
     win: int = 10,
     iters: int = 10,
     max_err: float = 20.0,
+    seed_range: int = 12,
 ) -> FlowResult:
-    """Track pts from prev to cur through the image pyramid (coarse->fine)."""
+    """Track pts from prev to cur through the image pyramid (coarse->fine).
+
+    The coarsest level is seeded with an exhaustive integer SAD search
+    (+-seed_range px — see _coarse_sad_seed) because the v3 one-hot LK
+    window can only drift _LK_SLACK px from its initial guess; finer levels
+    inherit the doubled coarse flow as their guess, which coarse-to-fine
+    refinement keeps within the slack.  Set seed_range=0 to disable.
+    """
     L = len(prev_pyr)
     flow = jnp.zeros_like(pts)
     ok_all = jnp.ones(pts.shape[0], bool)
@@ -172,6 +219,9 @@ def lk_track(
     for lvl in range(L - 1, -1, -1):
         scale = 1.0 / (2 ** lvl)
         pts_l = pts * scale
+        if lvl == L - 1 and seed_range > 0:
+            flow = _coarse_sad_seed(prev_pyr[lvl], cur_pyr[lvl], pts_l,
+                                    seed_range)
         flow, err, ok = _lk_level(prev_pyr[lvl], cur_pyr[lvl], pts_l, flow,
                                   win, iters)
         ok_all &= ok

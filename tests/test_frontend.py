@@ -123,6 +123,34 @@ class TestDetect:
         assert b[1] == round(b[0] / 2)
         assert b[2] == round(b[0] / 4)
 
+    def test_orb_level_budgets_small_k(self):
+        """Small k_slots must not produce zero/negative level budgets
+        (ADVICE r2: max(8,...) + remainder dump made ks[0] <= 0 for
+        orb_nfeats ~40-70 with the default 8 levels)."""
+        from rso.frontend.detect import _orb_level_budgets
+
+        for k in (1, 2, 5, 8, 40, 70, 128, 500):
+            for nl in (1, 2, 4, 8):
+                ks = _orb_level_budgets(k, nl)
+                assert sum(ks) == k, (k, nl, ks)
+                assert all(b >= 1 for b in ks), (k, nl, ks)
+
+    def test_orb_multilevel_tiny_budget_traces(self, seq):
+        """_detect_orb_multilevel with a tiny slot count must trace and run
+        (used to crash select_topk with k<=0 at trace time)."""
+        import dataclasses
+
+        from rso.config import DetectMethod
+        from rso.synthetic import synthetic_config
+
+        img = jnp.asarray(seq.frames[0][0], jnp.float32)
+        dp = dataclasses.replace(synthetic_config().detect,
+                                 detect_method=DetectMethod.ORB,
+                                 orb_nlevels=8)
+        f = detect_features(img, dp, 40, jnp.int32(20), need_desc=True)
+        assert f.xy.shape[0] == 40
+        assert bool(f.valid.any())
+
     def test_descriptors_deterministic_and_discriminative(self, seq, cfg):
         img = jnp.asarray(seq.frames[0][0], jnp.float32)
         f = detect_features(img, cfg.detect, 128, jnp.int32(20), need_desc=True)

@@ -188,6 +188,33 @@ class TestLKFlow:
         med = np.median(flow, axis=0)
         np.testing.assert_allclose(med, [-5.0, 3.0], atol=0.15)
 
+    def test_recovers_large_shift(self, rng):
+        """Coarse-level re-centering passes extend the v3 one-hot LK reach:
+        a 16 px shift on a 2-level pyramid needs 8 px at the coarse level,
+        beyond the +-5 px single-pass slack (ADVICE r2: 14 px tracked only
+        9/40 before coarse_passes)."""
+        from rso.frontend.detect import detect_features
+        from rso.frontend.optical_flow import lk_track
+        from rso.frontend.pyramid import build_pyramid
+        from rso.synthetic import make_sequence, synthetic_config
+
+        seq = make_sequence(n_frames=1, n_points=900, H=160, W=240)
+        img = jnp.asarray(seq.frames[0][0], jnp.float32)
+        shifted = jnp.roll(img, shift=-16, axis=1)  # content moves -16 cols
+        cfg = synthetic_config()
+        f = detect_features(img, cfg.detect, 64, jnp.int32(20), False)
+        pts = f.xy[f.valid & (f.xy[:, 0] > 30) & (f.xy[:, 0] < 205)
+                   & (f.xy[:, 1] > 20) & (f.xy[:, 1] < 140)][:40]
+        p1 = build_pyramid(img, 2)
+        p2 = build_pyramid(shifted, 2)
+        res = lk_track(p1, p2, pts, jnp.ones(pts.shape[0], bool),
+                       win=8, iters=12)
+        ok = np.asarray(res.status)
+        assert ok.mean() > 0.6, f"only {ok.sum()}/{ok.size} tracked at 16px"
+        flow = np.asarray(res.pos - pts)[ok]
+        med = np.median(flow, axis=0)
+        np.testing.assert_allclose(med, [-16.0, 0.0], atol=0.2)
+
     def test_flat_region_rejected(self, rng):
         from rso.frontend.optical_flow import lk_track
 

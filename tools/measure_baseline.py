@@ -116,6 +116,7 @@ def main():
                 "stages 1-5; the reference itself needs MRPT, absent here)",
         "host_cpu": platform.processor() or platform.machine(),
         "nproc": os.cpu_count(),
+        "hostname": platform.node(),
         "results": results,
     }
     with open(args.out, "w") as f:
