@@ -229,6 +229,10 @@ class TPUParams:
     # near-identical ranking (rso.kernels.distance.sad_matrix_mxu).  The nine
     # [K,K,64] SAD reductions are the stereo-match + tracking hot spot.
     use_mxu_distance: bool = True
+    # Fused Pallas stage-3 core (kernels.stereo_fused): exact all-pairs SAD +
+    # masks + best/second-best in one VMEM-resident kernel.  Takes precedence
+    # over use_mxu_distance for the SAD method when enabled.
+    use_fused_match: bool = False
     # Fused Pallas detection kernel (corner test + Shi-Tomasi in one VMEM
     # pass, rso.kernels.fast_detect).  Equivalent to the XLA path inside the
     # engine's border margin; see tests/test_kernels.py.

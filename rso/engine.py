@@ -300,7 +300,8 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
                                  min_response, fx_baseline=fxb,
                                  use_pallas=cfg.tpu.use_pallas,
                                  interpret_pallas=cfg.tpu.interpret_pallas,
-                                 use_mxu=cfg.tpu.use_mxu_distance)
+                                 use_mxu=cfg.tpu.use_mxu_distance,
+                                 use_fused=cfg.tpu.use_fused_match)
             cur_octs.append(OctaveData(left=fl, right=fr, matches=m,
                                        match_ids=jnp.full((Ks[o],), -1,
                                                           jnp.int32)))

@@ -92,6 +92,7 @@ def match_left_right(
     use_pallas: bool = False,
     interpret_pallas: bool = False,
     use_mxu: bool = False,
+    use_fused: bool = False,
 ) -> StereoMatches:
     """Stereo-match one octave's left/right feature sets.
 
@@ -129,7 +130,21 @@ def match_left_right(
         max_distance = float(params.orb_max_distance)
         use_ratio = False  # reference applies no ratio test on ORB paths
 
-    if method == StereoMatchMethod.SAD and use_mxu:
+    if method == StereoMatchMethod.SAD and use_fused:
+        # one Pallas kernel: exact all-pairs SAD + geometric masks +
+        # best/second-best entirely in VMEM (kernels.stereo_fused) — same
+        # acceptance semantics as the dense path below, none of its [K,K]
+        # HBM round-trips, and exact SAD (no shortlist recall loss)
+        from rso.kernels.stereo_fused import stereo_sad_fused
+
+        ok_l = left.valid & (left.response >= min_response)
+        ok_r = right.valid & (right.response >= min_response)
+        best_r, best_d, second_d = stereo_sad_fused(
+            left.patch, right.patch, left.xy, right.xy, ok_l, ok_r,
+            max_y_diff=float(max(params.max_y_diff, 0.0)),
+            max_disp=float(max_disp), max_distance=float(max_distance),
+            interpret=interpret_pallas)
+    elif method == StereoMatchMethod.SAD and use_mxu:
         # coarse-to-fine: MXU squared-L2 shortlist, exact SAD on top-8
         # (kernels.distance.sad_topk_refine) — same acceptance semantics as
         # the dense path, O(K^2 P) moved onto the systolic array

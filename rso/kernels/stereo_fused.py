@@ -1,0 +1,114 @@
+"""Fused stage-3 core: masked all-pairs exact SAD + best/second-best, one kernel.
+
+The stereo-match stage (rso.frontend.stereo_match, reference
+stage3_match_left_right.cpp:62-484) is a [K,K] cost matrix with epipolar /
+disparity / validity masks followed by per-row best + second-best reduction.
+The unfused XLA formulation round-trips a dozen [K,K] planes (and, on the
+MXU-shortlist path, a [K,8,64] gather) through HBM; at K=512 every plane is
+~1 MB, so the stage is overhead-bound far below the roofline.
+
+This kernel keeps everything in VMEM: both patch sets load once
+(2 x [K,P] f32 = 256 KB at K=512, P=64), the exact abs-diff SAD accumulates
+over the P unrolled lane slices, the geometric masks are computed in-register
+from the coordinate vectors, and only three [K] vectors leave the chip
+(best distance, best index, second-best distance).  Exact-SAD semantics: no
+squared-L2 shortlist, no recall loss (strictly stronger than
+kernels.distance.sad_topk_refine).
+
+Acceptance logic downstream (ratio test, z-gate, 1-to-1 arbitration) stays in
+XLA — it is [K]-sized and cheap.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e9
+
+
+def _kernel(pa_ref, pbt_ref, xl_ref, xr_ref, yl_ref, yr_ref,
+            okl_ref, okr_ref, bd_ref, br_ref, sd_ref, *,
+            max_y_diff: float, max_disp: float, max_distance: float):
+    pa = pa_ref[:]                     # [K, P]
+    pbt = pbt_ref[:]                   # [P, K]
+    K, P = pa.shape
+
+    acc = jnp.zeros((K, K), jnp.float32)
+    for d in range(P):                 # unrolled VPU abs-diff adds, all VMEM
+        acc = acc + jnp.abs(pa[:, d][:, None] - pbt[d, :][None, :])
+
+    xl = xl_ref[:]                     # [K, 1]
+    yl = yl_ref[:]
+    xr = xr_ref[:]                     # [1, K]
+    yr = yr_ref[:]
+    okl = okl_ref[:] > 0.5
+    okr = okr_ref[:] > 0.5
+
+    dy = jnp.abs(jnp.round(yl) - jnp.round(yr))
+    disp = xl - xr
+    ok = (okl & okr
+          & (dy <= max_y_diff)
+          & (disp >= 1.0) & (disp <= max_disp)
+          & (acc <= max_distance))
+    D = jnp.where(ok, acc, _BIG)
+
+    best_d = jnp.min(D, axis=1)                       # [K]
+    best_r = jnp.argmin(D, axis=1).astype(jnp.int32)  # [K]
+    lanes = lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    second = jnp.min(jnp.where(lanes == best_r[:, None], _BIG, D), axis=1)
+
+    bd_ref[:] = best_d[:, None]
+    br_ref[:] = best_r[:, None]
+    sd_ref[:] = second[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_y_diff", "max_disp", "max_distance", "interpret"))
+def stereo_sad_fused(
+    patches_l: jnp.ndarray,   # [K,P] f32 left 8x8 patches
+    patches_r: jnp.ndarray,   # [K,P] f32 right patches
+    xy_l: jnp.ndarray,        # [K,2] f32
+    xy_r: jnp.ndarray,        # [K,2] f32
+    ok_l: jnp.ndarray,        # [K] bool: valid & response-filtered, left
+    ok_r: jnp.ndarray,        # [K] bool: right
+    max_y_diff: float,
+    max_disp: float,
+    max_distance: float,
+    interpret: bool = False,
+):
+    """Returns (best_r [K] int32, best_d [K] f32, second_d [K] f32).
+
+    best_d/second_d are _BIG (1e9) where no admissible pair exists, matching
+    the jnp dense path's sentinel.
+    """
+    K, P = patches_l.shape
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_kernel, max_y_diff=float(max_y_diff),
+                          max_disp=float(max_disp),
+                          max_distance=float(max_distance)),
+        out_shape=(
+            jax.ShapeDtypeStruct((K, 1), f32),
+            jax.ShapeDtypeStruct((K, 1), jnp.int32),
+            jax.ShapeDtypeStruct((K, 1), f32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        interpret=interpret,
+    )(
+        patches_l.astype(f32),
+        patches_r.astype(f32).T,
+        xy_l[:, 0:1].astype(f32),
+        xy_r[:, 0].astype(f32)[None, :],
+        xy_l[:, 1:2].astype(f32),
+        xy_r[:, 1].astype(f32)[None, :],
+        ok_l.astype(f32)[:, None],
+        ok_r.astype(f32)[None, :],
+    )
+    bd, br, sd = out
+    return br[:, 0], bd[:, 0], sd[:, 0]

@@ -216,6 +216,27 @@ class TestStereoMatch:
         ridx = np.asarray(m.ridx)[np.asarray(m.valid)]
         assert len(np.unique(ridx)) == len(ridx)  # no right feature reused
 
+    def test_fused_matches_dense_path(self, seq, cfg):
+        """kernels.stereo_fused must reproduce the dense jnp SAD path's
+        decisions exactly (integer-valued SADs: f32 summation order is
+        immaterial; argmin tie-break is first-index in both)."""
+        l, r = seq.frames[0]
+        fl = detect_features(jnp.asarray(l, jnp.float32), cfg.detect, 512,
+                             jnp.int32(20), need_desc=False)
+        fr = detect_features(jnp.asarray(r, jnp.float32), cfg.detect, 512,
+                             jnp.int32(20), need_desc=False)
+        dense = match_left_right(fl, fr, cfg.lr_match, l.shape[1], 0.0,
+                                 use_mxu=False)
+        fused = match_left_right(fl, fr, cfg.lr_match, l.shape[1], 0.0,
+                                 use_fused=True, interpret_pallas=True)
+        np.testing.assert_array_equal(np.asarray(dense.valid),
+                                      np.asarray(fused.valid))
+        v = np.asarray(dense.valid)
+        np.testing.assert_array_equal(np.asarray(dense.ridx)[v],
+                                      np.asarray(fused.ridx)[v])
+        np.testing.assert_allclose(np.asarray(dense.dist)[v],
+                                   np.asarray(fused.dist)[v])
+
     def test_known_shift_recovered_exactly(self, seq, cfg):
         """Right image = left rolled by +5 px: every match must recover
         disparity 5 exactly (the controlled-geometry oracle)."""

@@ -112,6 +112,22 @@ def main():
               l, r, cfg.lr_match, W, 0.0, fx_baseline=718.0 * 0.54,
               use_mxu=True).dist))
 
+    if jax.default_backend() != "cpu":
+        from rso.kernels.stereo_fused import stereo_sad_fused
+
+        def fused_kernel_only(l, r):
+            br, bd, sd = stereo_sad_fused(
+                l.patch, r.patch, l.xy, r.xy, l.valid, r.valid,
+                max_y_diff=1.0, max_disp=W * 0.7, max_distance=3000.0)
+            return jnp.sum(bd) + jnp.sum(sd)
+
+        slope("stereo_sad_fused kernel only", fused_kernel_only)
+
+        slope("match_left_right FULL (fused)",
+              lambda l, r: jnp.sum(match_left_right(
+                  l, r, cfg.lr_match, W, 0.0, fx_baseline=718.0 * 0.54,
+                  use_fused=True).dist))
+
     print(f"backend: {jax.default_backend()}")
 
 
