@@ -382,6 +382,7 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
                     use_pallas=cfg.tpu.use_pallas,
                     interpret_pallas=cfg.tpu.interpret_pallas,
                     use_mxu=cfg.tpu.use_mxu_distance,
+                    use_fused=cfg.tpu.use_fused_match,
                 )
             # no previous frame -> nothing tracked
             trk_valid = trk.valid & state.have_prev

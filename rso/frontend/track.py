@@ -65,6 +65,7 @@ def track_interframe(
     use_pallas: bool = False,
     interpret_pallas: bool = False,
     use_mxu: bool = False,
+    use_fused: bool = False,
 ) -> TrackResult:
     K = prev_matches.ridx.shape[0]
     method = params.ifm_method
@@ -76,6 +77,24 @@ def track_interframe(
     cL_xy = cur_left.xy
     pR_xy, pR_patch, pR_desc = _gather_right(prev_right, prev_matches.ridx)
     cR_xy, cR_patch, cR_desc = _gather_right(cur_right, cur_matches.ridx)
+
+    if method == IFMatchMethod.SAD and use_fused:
+        # fused Pallas core (kernels.stereo_fused.track_sad_fused): both-eye
+        # exact SAD + window masks + per-row best in one VMEM kernel — same
+        # acceptance semantics as the dense path, exact SAD (no shortlist)
+        from rso.kernels.stereo_fused import track_sad_fused
+
+        best_c, best_d = track_sad_fused(
+            prev_left.patch, cur_left.patch, pR_patch, cR_patch,
+            prev_left.xy, cur_left.xy, pR_xy[:, 0], cR_xy[:, 0],
+            p_ok, c_ok,
+            win_row=float(params.ifm_win_w), win_col=float(params.ifm_win_h),
+            sad_max=float(params.sad_max_distance),
+            interpret=interpret_pallas)
+        cand_ok = best_d < _BIG
+        survive = _arbitrate_right(best_c, best_d, cand_ok, K, keep_best=True)
+        return _finish(prev_left, pR_xy, cur_left, cR_xy, best_c, survive,
+                       params, key, ransac_iters, ransac_threshold)
 
     pair_ok = p_ok[:, None] & c_ok[None, :]
 

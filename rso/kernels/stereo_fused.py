@@ -67,6 +67,87 @@ def _kernel(pa_ref, pbt_ref, xl_ref, xr_ref, yl_ref, yr_ref,
     sd_ref[:] = second[:, None]
 
 
+def _track_kernel(pl_ref, clt_ref, pr_ref, crt_ref,
+                  yp_ref, yc_ref, xlp_ref, xlc_ref, xrp_ref, xrc_ref,
+                  okp_ref, okc_ref, bd_ref, bc_ref, *,
+                  win_row: float, win_col: float, sad_max: float):
+    pa_l = pl_ref[:]                   # [K, P] prev-left patches
+    cbt_l = clt_ref[:]                 # [P, K] cur-left patches, transposed
+    pa_r = pr_ref[:]                   # [K, P] prev-right (match-aligned)
+    cbt_r = crt_ref[:]                 # [P, K] cur-right (match-aligned)
+    K, P = pa_l.shape
+
+    acc_l = jnp.zeros((K, K), jnp.float32)
+    acc_r = jnp.zeros((K, K), jnp.float32)
+    for d in range(P):
+        acc_l = acc_l + jnp.abs(pa_l[:, d][:, None] - cbt_l[d, :][None, :])
+        acc_r = acc_r + jnp.abs(pa_r[:, d][:, None] - cbt_r[d, :][None, :])
+
+    dy = jnp.abs(yp_ref[:] - yc_ref[:])
+    dxl = jnp.abs(xlp_ref[:] - xlc_ref[:])
+    dxr = jnp.abs(xrp_ref[:] - xrc_ref[:])
+    ok = ((okp_ref[:] > 0.5) & (okc_ref[:] > 0.5)
+          & (dy <= win_row) & (dxl <= win_col) & (dxr <= win_col)
+          & (acc_l <= sad_max) & (acc_r <= sad_max))
+    D = jnp.where(ok, acc_l + acc_r, _BIG)
+
+    bd_ref[:] = jnp.min(D, axis=1)[:, None]
+    bc_ref[:] = jnp.argmin(D, axis=1).astype(jnp.int32)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "win_row", "win_col", "sad_max", "interpret"))
+def track_sad_fused(
+    p_left_patch: jnp.ndarray,   # [K,P] prev-frame left patches
+    c_left_patch: jnp.ndarray,   # [K,P] cur-frame left patches
+    p_right_patch: jnp.ndarray,  # [K,P] prev right patches (match-aligned)
+    c_right_patch: jnp.ndarray,  # [K,P] cur right patches (match-aligned)
+    p_left_xy: jnp.ndarray,      # [K,2]
+    c_left_xy: jnp.ndarray,      # [K,2]
+    p_right_x: jnp.ndarray,      # [K]
+    c_right_x: jnp.ndarray,      # [K]
+    ok_p: jnp.ndarray,           # [K] bool prev match validity
+    ok_c: jnp.ndarray,           # [K] bool cur match validity
+    win_row: float,
+    win_col: float,
+    sad_max: float,
+    interpret: bool = False,
+):
+    """Fused ifmSAD tracking core (reference stage4:525-636): both-eye exact
+    SAD + window masks + per-row best, one VMEM kernel.
+
+    Returns (best_c [K] int32, best_d [K] f32); best_d is _BIG where no
+    admissible candidate exists.
+    """
+    K, P = p_left_patch.shape
+    f32 = jnp.float32
+    bd, bc = pl.pallas_call(
+        functools.partial(_track_kernel, win_row=float(win_row),
+                          win_col=float(win_col), sad_max=float(sad_max)),
+        out_shape=(
+            jax.ShapeDtypeStruct((K, 1), f32),
+            jax.ShapeDtypeStruct((K, 1), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        interpret=interpret,
+    )(
+        p_left_patch.astype(f32),
+        c_left_patch.astype(f32).T,
+        p_right_patch.astype(f32),
+        c_right_patch.astype(f32).T,
+        p_left_xy[:, 1:2].astype(f32),
+        c_left_xy[:, 1].astype(f32)[None, :],
+        p_left_xy[:, 0:1].astype(f32),
+        c_left_xy[:, 0].astype(f32)[None, :],
+        p_right_x.astype(f32)[:, None],
+        c_right_x.astype(f32)[None, :],
+        ok_p.astype(f32)[:, None],
+        ok_c.astype(f32)[None, :],
+    )
+    return bc[:, 0], bd[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "max_y_diff", "max_disp", "max_distance", "interpret"))
 def stereo_sad_fused(

@@ -285,6 +285,28 @@ class TestTrack:
                                jax.random.PRNGKey(0))
         assert int(trk.n_tracked) > 30
 
+    def test_fused_track_matches_dense_path(self, seq, cfg):
+        """kernels.stereo_fused.track_sad_fused must reproduce the dense
+        jnp ifmSAD path's decisions exactly."""
+        prev_l, prev_r = seq.frames[0]
+        cur_l, cur_r = seq.frames[1]
+        det = lambda im: detect_features(jnp.asarray(im, jnp.float32),
+                                         cfg.detect, 512, jnp.int32(20),
+                                         need_desc=False)
+        pl, pr, cl, cr = det(prev_l), det(prev_r), det(cur_l), det(cur_r)
+        pm = match_left_right(pl, pr, cfg.lr_match, prev_l.shape[1], 0.0)
+        cm = match_left_right(cl, cr, cfg.lr_match, cur_l.shape[1], 0.0)
+        dense = track_interframe(pl, pr, pm, cl, cr, cm, cfg.if_match,
+                                 jax.random.PRNGKey(0), use_mxu=False)
+        fused = track_interframe(pl, pr, pm, cl, cr, cm, cfg.if_match,
+                                 jax.random.PRNGKey(0), use_fused=True,
+                                 interpret_pallas=True)
+        np.testing.assert_array_equal(np.asarray(dense.valid),
+                                      np.asarray(fused.valid))
+        v = np.asarray(dense.valid)
+        np.testing.assert_array_equal(np.asarray(dense.cur_idx)[v],
+                                      np.asarray(fused.cur_idx)[v])
+
 
 class TestRefine:
     """refine_positions: translation-only inverse-compositional LK on stored
