@@ -1,12 +1,13 @@
 """Fused Pallas detection kernel: FAST corner test + Shi-Tomasi response.
 
 The hot half of stage 2.  The XLA formulation (rso.frontend.detect)
-materializes 16 rolled copies of the image plus integral-image passes through
-HBM; this kernel reads each image tile into VMEM ONCE and computes everything
+materializes rolled copies of the image plus box-sum passes through HBM;
+this kernel reads each image row-band into VMEM ONCE and computes everything
 in-register:
 
-  * 16 circle neighbors as static offset slices of the haloed tile (free)
-  * bright/dark segment test with run-length doubling (O(log arc) ANDs)
+  * 16 circle neighbors as static offset slices of the haloed band (free)
+  * bright/dark segment test bit-packed into two uint32 planes (the XLA
+    path's packing, VMEM-frugal) + run-length doubling (O(log arc) ANDs)
   * central-difference gradients + (2*win+1)^2 box sums of the structure
     tensor as shifted-slice accumulations (no cumsum, no reduce_window)
   * min-eigenvalue response, corner-masked, -inf elsewhere
@@ -14,8 +15,10 @@ in-register:
 Output is identical (up to f32 summation order in the box sums) to
 `where(fast_corner_mask(img, t, arc), shi_tomasi_response(img, win), -inf)`.
 
-Grid: tiles of (TILE_H, TILE_W) with a HALO ring; each grid step DMAs its
-haloed block from the padded input.
+Grid: full-width row bands of TILE_H output rows with a HALO row ring.
+Band DMAs are double-buffered: band i+1's HBM->VMEM copy overlaps band i's
+compute (v1 of this kernel serialized start();wait() per step, stalling the
+VPU on every DMA).
 """
 from __future__ import annotations
 
@@ -24,81 +27,87 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rso.frontend.detect import _FAST_OFFSETS
 
 TILE_H = 64
-TILE_W = 512
-# halos sized for Mosaic alignment: lane (minor) dim slices must be multiples
-# of 128, sublane multiples of 8.  The compute halo need is only 8px; the
-# wider W halo buys alignment at 1.25x DMA traffic.
-HALO_H = 8
-HALO_W = 64
+HALO = 8     # rows of context per band; also the left-edge column zero-pad
 
 
-def _kernel(img_hbm, th_ref, out_ref, tile_ref, sem, *, arc: int, win: int):
+def _kernel(img_hbm, th_ref, out_ref, tiles, sems, *,
+            arc: int, win: int, n_bands: int, w_out: int):
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    # DMA the haloed tile from HBM (overlapping reads; BlockSpec blocks are
-    # disjoint so halos need a manual copy)
-    cp = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * TILE_H, TILE_H + 2 * HALO_H),
-                   pl.ds(j * TILE_W, TILE_W + 2 * HALO_W)],
-        tile_ref, sem)
-    cp.start()
-    cp.wait()
-    tile = tile_ref[:]                     # [TILE_H+2Hh, TILE_W+2Hw]
-    TH, TW = TILE_H, TILE_W
+
+    def dma(slot, band):
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(band * TILE_H, TILE_H + 2 * HALO), :],
+            tiles.at[slot], sems.at[slot])
+
+    slot = lax.rem(i, 2)
+    nxt = lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n_bands)
+    def _():
+        dma(nxt, i + 1).start()
+
+    dma(slot, i).wait()
+    tile = tiles[slot]                  # [TILE_H + 2*HALO, W_pad]
+    TH, TW = TILE_H, w_out
     t = th_ref[0].astype(tile.dtype)
 
     def core(dy, dx, h=0):
         """Slice shifted by (dy,dx) relative to the core region, grown by h."""
-        return tile[HALO_H + dy - h : HALO_H + dy + TH + h,
-                    HALO_W + dx - h : HALO_W + dx + TW + h]
+        return tile[HALO + dy - h: HALO + dy + TH + h,
+                    HALO + dx - h: HALO + dx + TW + h]
 
     c = core(0, 0)
 
-    # ---- FAST segment test -------------------------------------------------
-    bright = []
-    dark = []
+    # ---- FAST segment test (bit-packed: two u32 planes stay live) ----------
     hi = c + t
     lo = c - t
-    for dx, dy in _FAST_OFFSETS:
+    bright = jnp.zeros(c.shape, jnp.uint32)
+    dark = jnp.zeros(c.shape, jnp.uint32)
+    for k, (dx, dy) in enumerate(_FAST_OFFSETS):
         n = core(int(dy), int(dx))
-        bright.append(n > hi)
-        dark.append(n < lo)
+        bit = jnp.uint32(1 << k)
+        bright = bright | jnp.where(n > hi, bit, jnp.uint32(0))
+        dark = dark | jnp.where(n < lo, bit, jnp.uint32(0))
 
-    def has_arc(bits):
-        # run-length doubling over the circular 16-list (python-level indexing)
-        runs = {1: bits}
+    def rotl16(b, s):
+        s = s % 16
+        if s == 0:
+            return b & jnp.uint32(0xFFFF)
+        return ((b << s) | (b >> (16 - s))) & jnp.uint32(0xFFFF)
+
+    def has_arc(b):
+        # run-length doubling on the circular 16-bit word (same scheme as
+        # frontend.detect.fast_corner_mask)
+        runs = {1: b}
         k = 1
         while 2 * k <= arc:
-            prev = runs[k]
-            runs[2 * k] = [prev[i] & prev[(i + k) % 16] for i in range(16)]
+            runs[2 * k] = runs[k] & rotl16(runs[k], k)
             k *= 2
         need = arc
         acc = None
         offset = 0
         for p in sorted(runs, reverse=True):
             while need >= p:
-                term = runs[p]
-                if acc is None:
-                    acc = [term[(i + offset) % 16] for i in range(16)]
-                else:
-                    acc = [acc[i] & term[(i + offset) % 16] for i in range(16)]
+                term = rotl16(runs[p], offset)
+                acc = term if acc is None else (acc & term)
                 offset += p
                 need -= p
-        out = acc[0]
-        for i in range(1, 16):
-            out = out | acc[i]
-        return out
+        return acc != 0
 
     corner = has_arc(bright) | has_arc(dark)
 
     # ---- Shi-Tomasi response ----------------------------------------------
-    # gradients on the core grown by `win` so box sums stay in-tile
     g = win
     gx = (core(0, 1, g) - core(0, -1, g)) * 0.5
     gy = (core(1, 0, g) - core(-1, 0, g)) * 0.5
@@ -109,14 +118,13 @@ def _kernel(img_hbm, th_ref, out_ref, tile_ref, sem, *, arc: int, win: int):
     n = float((2 * win + 1) ** 2)
 
     def box(a):
-        # separable (2win+1)^2 box sum over the grown array -> core size
         acc = None
         for dy in range(2 * win + 1):
-            sl = a[dy : dy + TH, :]
+            sl = a[dy: dy + TH, :]
             acc = sl if acc is None else acc + sl
         acc2 = None
         for dx in range(2 * win + 1):
-            sl = acc[:, dx : dx + TW]
+            sl = acc[:, dx: dx + TW]
             acc2 = sl if acc2 is None else acc2 + sl
         return acc2 / n
 
@@ -141,30 +149,32 @@ def corner_response_pallas(img: jnp.ndarray, threshold: jnp.ndarray,
     """
     Hm, Wm = img.shape
     img = img.astype(jnp.float32)
-    # pad to tile multiples plus the halo ring
     Hp = int(np.ceil(Hm / TILE_H)) * TILE_H
-    Wp = int(np.ceil(Wm / TILE_W)) * TILE_W
-    padded = jnp.pad(img, ((HALO_H, Hp - Hm + HALO_H),
-                           (HALO_W, Wp - Wm + HALO_W)))
+    n_bands = Hp // TILE_H
+    # lane width: output W rounded up to 128 so every col slice keeps a
+    # 128-multiple size; + HALO zeros on each side for the x-offsets
+    w_out = int(np.ceil(Wm / 128)) * 128
+    w_pad = w_out + 2 * HALO
+    padded = jnp.pad(img, ((HALO, Hp - Hm + HALO),
+                           (HALO, w_pad - Wm - HALO)))
 
-    grid = (Hp // TILE_H, Wp // TILE_W)
     out = pl.pallas_call(
-        functools.partial(_kernel, arc=arc, win=win),
-        grid=grid,
+        functools.partial(_kernel, arc=arc, win=win, n_bands=n_bands,
+                          w_out=w_out),
+        grid=(n_bands,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # stays in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TILE_H, TILE_W), lambda i, j: (i, j),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            (TILE_H, w_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, w_out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TILE_H + 2 * HALO_H, TILE_W + 2 * HALO_W),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TILE_H + 2 * HALO, w_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(padded, jnp.asarray([threshold], jnp.float32))
     out = out[:Hm, :Wm]
