@@ -6,6 +6,13 @@ declared+tested but never wired into the reference pipeline (superseded by the
 match-set search).  Here it is a first-class batched op — each of K templates
 searched over its own window in one fused computation — used by the EuRoC
 track-recovery configuration.
+
+v2 formulation: the per-keypoint search region is pulled with the detector's
+profiled row-take extractor (32-lane chunks) and all 8x8 windows are
+materialized with one dense unfold (conv_general_dilated_patches) — no
+vmapped dynamic_slice, whose per-keypoint scattered HBM gathers are both slow
+and a pinned TPU-runtime fault trigger inside long scans
+(docs/FLOW_SCAN_FAULT.md).  Bit-identical to v1 (integer SADs).
 """
 from __future__ import annotations
 
@@ -32,15 +39,18 @@ def windowed_sad_search(
 ) -> WindowedSearchResult:
     """Exhaustive min-SAD search of each template over its window.
 
-    Formulated as K x (2wy+1) x (2wx+1) candidate patch SADs via dynamic-slice
-    window extraction — all candidates evaluated in parallel on the VPU.
+    All (2wy+1)x(2wx+1) candidate 8x8 SADs per template evaluated in parallel
+    on the VPU from one unfolded region tensor.
     """
+    from rso.frontend.detect import _extract_rect
+
     H, W = img.shape
     K = templates.shape[0]
     if valid is None:
         valid = jnp.ones((K,), bool)
 
-    # window of candidate top-left corners per template
+    # window of candidate top-left corners per template (clamped whole-window
+    # in-range, exactly like v1's dynamic_slice semantics)
     SX = 2 * win_x + 8
     SY = 2 * win_y + 8
     x0 = jnp.clip(jnp.round(centers[:, 0]).astype(jnp.int32) - 3 - win_x,
@@ -48,23 +58,30 @@ def windowed_sad_search(
     y0 = jnp.clip(jnp.round(centers[:, 1]).astype(jnp.int32) - 3 - win_y,
                   0, H - SY)
 
-    def one(template, xs, ys):
-        region = lax.dynamic_slice(img, (ys, xs), (SY, SX))  # [SY,SX]
-        # all 8x8 windows of the region: [2wy+1, 2wx+1, 8, 8]
-        patches = jnp.stack([
-            jnp.stack([region[dy:dy + 2 * win_y + 1, dx:dx + 2 * win_x + 1]
-                       for dx in range(8)], axis=-1)
-            for dy in range(8)], axis=-2)
-        t = template.reshape(8, 8)
-        sad = jnp.sum(jnp.abs(patches - t[None, None]), axis=(-2, -1))
-        flat = sad.reshape(-1)
-        idx = jnp.argmin(flat)
-        dy = idx // (2 * win_x + 1)
-        dx = idx % (2 * win_x + 1)
-        bx = (xs + dx + 3).astype(jnp.float32)
-        by = (ys + dy + 3).astype(jnp.float32)
-        return jnp.stack([bx, by]), flat[idx]
+    # region pull in 32-lane chunks -> [K, SY, SX]
+    chunks = []
+    done = 0
+    while done < SX:
+        w = min(32, SX - done)
+        chunks.append(_extract_rect(img, x0 + done, y0, SY, w))
+        done += w
+    region = jnp.concatenate(chunks, axis=2)
 
-    best_xy, best_sad = jax.vmap(one)(templates, x0, y0)
-    best_sad = jnp.where(valid, best_sad, jnp.float32(jnp.finfo(jnp.float32).max))
-    return WindowedSearchResult(best_xy=best_xy, best_sad=best_sad, valid=valid)
+    # all 8x8 windows: [K, 64, 2wy+1, 2wx+1]
+    windows = lax.conv_general_dilated_patches(
+        region[:, None], filter_shape=(8, 8), window_strides=(1, 1),
+        padding="VALID")
+    sad = jnp.sum(jnp.abs(windows - templates.reshape(K, 64, 1, 1)), axis=1)
+
+    DX = 2 * win_x + 1
+    flat = sad.reshape(K, (2 * win_y + 1) * DX)
+    idx = jnp.argmin(flat, axis=1)
+    dy = (idx // DX).astype(jnp.int32)
+    dx = (idx % DX).astype(jnp.int32)
+    best_xy = jnp.stack([(x0 + dx + 3).astype(jnp.float32),
+                         (y0 + dy + 3).astype(jnp.float32)], axis=1)
+    best_sad = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    best_sad = jnp.where(valid, best_sad,
+                         jnp.float32(jnp.finfo(jnp.float32).max))
+    return WindowedSearchResult(best_xy=best_xy, best_sad=best_sad,
+                                valid=valid)
