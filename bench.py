@@ -66,6 +66,8 @@ def main():
         "baseline_fps": base_fps,
         "baseline_kind": base_kind,
         "ate_rmse_m": round(out["ate_rmse_m"], 4),
+        "step_ms_device": round(out["step_ms_device"], 4),
+        "fps_device_step": round(out["fps_device_step"], 1),
         "ba_iters_per_sec": round(out["ba_iters_per_sec"], 1),
         "detect_ms_per_image": round(out["detect_ms_per_image"], 4),
         "detect_hbm_gbps_model": round(out["detect_hbm_gbps_model"], 1),

@@ -74,6 +74,36 @@ def run_bench(n_frames: int = 120, n_points: int = 2000, warmup: int = 3,
     jax.block_until_ready(res.pose)
     fps_live = n_live / (time.perf_counter() - t0)
 
+    # pure device step time by scan-length slope (the tunnel RTT and chunk
+    # fixed costs cancel; see docs/PERF.md "Measurement discipline")
+    from jax import lax as _lax0
+    from rso.engine import make_step as _make_step
+
+    _step = _make_step(eng.cfg, eng.cam, height, width)
+    _st0 = jax.device_put(init_state(eng.cfg, (height, width)))
+    _st0, _ = jax.jit(_step)(_st0, lefts[0], rights[0])
+    _st0 = jax.block_until_ready(_st0)
+
+    def _body(carry, _):
+        st, flip = carry
+        l = jnp.where(flip, lefts[0], lefts[1])
+        r = jnp.where(flip, rights[0], rights[1])
+        st, _res = _step(st, l, r)
+        return (st, ~flip), None
+
+    def _t(n):
+        run = jax.jit(lambda: _lax0.scan(_body, (_st0, jnp.bool_(True)),
+                                         None, length=n)[0])
+        jax.block_until_ready(run())
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    step_ms_device = (_t(120) - _t(20)) / 100 * 1e3
+
     # accuracy pass (host-integrated trajectory from the chunked results —
     # identical math to per-frame calls).  ATE over a fixed 120-frame window
     # so the number stays comparable when n_frames changes (drift grows with
@@ -165,6 +195,8 @@ def run_bench(n_frames: int = 120, n_points: int = 2000, warmup: int = 3,
     return {
         "fps": fps,
         "fps_live_per_dispatch": fps_live,
+        "step_ms_device": step_ms_device,
+        "fps_device_step": 1e3 / step_ms_device,
         "ba_iters_per_sec": ba_iters_per_sec,
         "ate_rmse_m": ate,
         "detect_ms_per_image": detect_s * 1e3,
