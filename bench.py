@@ -46,8 +46,30 @@ def _measured_baseline():
     return REFERENCE_FPS_ESTIMATE, "estimate"
 
 
+def _wait_for_backend(attempts: int = 6, delay_s: int = 60):
+    """Retry backend init: the axon relay releases a dead process's TPU claim
+    with latency, and a worker restart surfaces as 'Unable to initialize
+    backend' (failed inits are not cached, so retrying re-inits cleanly)."""
+    import time
+
+    import jax
+
+    for i in range(attempts):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if "Unable to initialize backend" not in str(e) or i == attempts - 1:
+                raise
+            print(f"[bench] backend not ready ({i + 1}/{attempts}): {e}; "
+                  f"retrying in {delay_s}s", file=sys.stderr)
+            time.sleep(delay_s)
+
+
 def main():
     from rso.cli.bench import run_bench
+
+    _wait_for_backend()
 
     # 480-frame chunks: the one-dispatch fixed cost (~60 ms through the
     # remote-TPU tunnel) amortizes to ~0.13 ms/frame; per-step device time is
