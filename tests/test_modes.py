@@ -80,6 +80,33 @@ class TestModeATE:
         assert nvalid >= 6, f"{name}: only {nvalid}/7 valid frames"
         assert a < bound, f"{name}: ATE {a:.4f} m exceeds {bound}"
 
+    def test_flow_mode_fast_motion(self):
+        """Engine-level fast-motion flow regression: at 1.2 m/frame on a
+        200x320 corridor (~15-20 px/frame at this focal length) the seeded
+        LK must keep tracking (the unseeded one-hot LK capped out at
+        ~5*2^(L-1) px; tools/exp_flow_speed.py has the full sweep)."""
+        from rso.geometry import pose_matrix
+        from rso.metrics.ate import ate_rmse
+
+        seq = make_textured_sequence(n_frames=8, H=200, W=320, speed=1.2)
+        base = textured_config()
+        cfg = base.replace(
+            if_match=dataclasses.replace(
+                base.if_match, ifm_method=IFMatchMethod.OPTICAL_FLOW))
+        eng = Engine(cfg, seq.cam)
+        T = np.eye(4)
+        poses = [T.copy()]
+        nvalid = 0
+        for l, r in seq.frames:
+            res = eng.process_frame(l, r)
+            if bool(res.valid):
+                nvalid += 1
+                T = T @ np.asarray(pose_matrix(res.pose))
+            poses.append(T.copy())
+        a = ate_rmse(np.stack(poses)[1:], seq.poses)
+        assert nvalid >= 6, f"only {nvalid}/8 valid at 1.2 m/frame"
+        assert a < 0.2, f"fast-motion flow ATE {a:.4f} m"
+
 
 def _run3(cfg, seq):
     eng = Engine(cfg, seq.cam)
