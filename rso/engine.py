@@ -37,7 +37,7 @@ from rso.frontend.detect import (
     octave_k_slots,
     update_fast_threshold,
 )
-from rso.frontend.pyramid import build_pyramid, downsample2x, to_grayscale
+from rso.frontend.pyramid import build_pyramid, to_grayscale
 from rso.frontend.stereo_match import StereoMatches, match_left_right
 from rso.frontend.track import TrackResult, track_interframe
 from rso.geometry.stereo_camera import StereoCamera
@@ -250,30 +250,26 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         if _maps is not None:
             gl = bilinear_remap(gl, _maps[0], _maps[1])
             gr = bilinear_remap(gr, _maps[2], _maps[3])
-        # both eyes ride one [2,H,W] batch through the dense stage-1/2 passes:
-        # identical math per eye, half the kernel launches (detection is
-        # overhead-bound well below the HBM roofline — tools/bench_detect.py)
-        pyr_b = [jnp.stack([gl, gr])]
-        for _ in range(1, O):
-            pyr_b.append(jax.vmap(downsample2x)(pyr_b[-1]))
-        pyr_l = [p[0] for p in pyr_b]
-        pyr_r = [p[1] for p in pyr_b]
+        pyr_l = build_pyramid(gl, O)
+        pyr_r = build_pyramid(gr, O)
 
         octs = []
         new_fast_th = []
         detected = []
         for o in range(O):
             th = state.fast_th[o]
-            fb = jax.vmap(
-                lambda im: detect_features(
-                    im, cfg.detect, Ks[o], th, need_desc,
-                    arc=cfg.tpu.fast_arc,
-                    use_pallas_detect=cfg.tpu.use_pallas_detect,
-                    interpret_pallas=cfg.tpu.interpret_pallas,
-                    bf16=cfg.tpu.detect_bf16,
-                    topk_recall=cfg.tpu.topk_recall))(pyr_b[o])
-            fl = jax.tree_util.tree_map(lambda a: a[0], fb)
-            fr = jax.tree_util.tree_map(lambda a: a[1], fb)
+            fl = detect_features(pyr_l[o], cfg.detect, Ks[o], th, need_desc,
+                                 arc=cfg.tpu.fast_arc,
+                                 use_pallas_detect=cfg.tpu.use_pallas_detect,
+                                 interpret_pallas=cfg.tpu.interpret_pallas,
+                                 bf16=cfg.tpu.detect_bf16,
+                                 topk_recall=cfg.tpu.topk_recall)
+            fr = detect_features(pyr_r[o], cfg.detect, Ks[o], th, need_desc,
+                                 arc=cfg.tpu.fast_arc,
+                                 use_pallas_detect=cfg.tpu.use_pallas_detect,
+                                 interpret_pallas=cfg.tpu.interpret_pallas,
+                                 bf16=cfg.tpu.detect_bf16,
+                                 topk_recall=cfg.tpu.topk_recall)
             # octave budget: keep only the strongest budget[o] slots
             slot_ok = jnp.arange(Ks[o]) < budgets[o]
             fl = fl._replace(valid=fl.valid & slot_ok)
