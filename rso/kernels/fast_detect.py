@@ -152,9 +152,13 @@ def corner_response_pallas(img: jnp.ndarray, threshold: jnp.ndarray,
     Hp = int(np.ceil(Hm / TILE_H)) * TILE_H
     n_bands = Hp // TILE_H
     # lane width: output W rounded up to 128 so every col slice keeps a
-    # 128-multiple size; + HALO zeros on each side for the x-offsets
+    # 128-multiple size.  The stored band must ALSO be a 128 multiple —
+    # Mosaic requires the manual band DMA's lane dimension aligned to the
+    # (8,128) tiling (measured on v5e: w_out + 2*HALO = 1296 fails to
+    # compile) — so the x-halo ring lives inside one extra 128-lane block:
+    # HALO zeros on the left, the remainder as right zero-pad.
     w_out = int(np.ceil(Wm / 128)) * 128
-    w_pad = w_out + 2 * HALO
+    w_pad = w_out + 128
     padded = jnp.pad(img, ((HALO, Hp - Hm + HALO),
                            (HALO, w_pad - Wm - HALO)))
 
