@@ -206,11 +206,13 @@ class TPUParams:
     # budget gate always empties.  frontend.detect.octave_k_slots.
     octave_slot_decay: bool = True
     # Fixed hypothesis count (replaces cv::FM_RANSAC adaptive iteration).
-    # 128: at the ~30-80 tracked counts the window search yields, the
-    # hypothesis pool must be deep enough that the best model is never
-    # merely mediocre — a bad accepted model erases the track set (ATE
-    # collapse measured at 64 on the bench scenes; 128 is +~0.04 ms).
-    ransac_iters: int = 128
+    # At the ~30-80 tracked counts the window search yields, the hypothesis
+    # pool must be deep enough that the best model is never merely mediocre —
+    # a bad accepted model erases the track set (ATE collapse measured at 64
+    # on the bench scenes).  256 vs 128: -7.8% mean ATE on 3 scene seeds
+    # (every seed improves; tools/exp_ate_levers.py) for +0.026 ms/step
+    # measured on v5e (tools/exp_r3_followup.py).
+    ransac_iters: int = 256
     ransac_threshold: float = 1.0      # epipolar (Sampson) inlier distance, px
     # Detector top-K recall target (lax.approx_max_k).  Measured on v5e
     # (tools/exp_topk_recall.py): exact top-k (1.0) costs +419us per
@@ -229,10 +231,15 @@ class TPUParams:
     # near-identical ranking (rso.kernels.distance.sad_matrix_mxu).  The nine
     # [K,K,64] SAD reductions are the stereo-match + tracking hot spot.
     use_mxu_distance: bool = True
-    # Fused Pallas stage-3 core (kernels.stereo_fused): exact all-pairs SAD +
-    # masks + best/second-best in one VMEM-resident kernel.  Takes precedence
-    # over use_mxu_distance for the SAD method when enabled.
-    use_fused_match: bool = False
+    # Fused Pallas stage-3/4 cores (kernels.stereo_fused): exact all-pairs
+    # SAD + geometric masks + best/second-best in one VMEM-resident kernel
+    # per stage.  Takes precedence over use_mxu_distance for the SAD method.
+    # Default ON: strictly exact (no MXU-shortlist recall loss) and measured
+    # faster — isolated 2.7x (stage 3: 23.5us vs 63.7us at K=512) and -2.8%
+    # median full step in an interleaved A/B on v5e (tools/exp_fused_ab.py;
+    # docs/artifacts/r3_tpu_suite.txt).  Off-TPU the engine falls back to
+    # the dense/MXU path automatically (Pallas needs interpret mode on CPU).
+    use_fused_match: bool = True
     # Fused Pallas detection kernel (corner test + Shi-Tomasi in one VMEM
     # pass, rso.kernels.fast_detect).  Equivalent to the XLA path inside the
     # engine's border margin; see tests/test_kernels.py.

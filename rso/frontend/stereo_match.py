@@ -42,6 +42,7 @@ class StereoMatches(NamedTuple):
 # Distance matrices live in rso.kernels (Pallas TPU kernels + jnp references);
 # these aliases keep the stage-3 module self-describing.
 from rso.kernels.distance import (  # noqa: E402
+    _on_tpu,
     hamming_matrix_auto,
     hamming_matrix_jnp as hamming_matrix,
     sad_matrix_auto,
@@ -130,7 +131,8 @@ def match_left_right(
         max_distance = float(params.orb_max_distance)
         use_ratio = False  # reference applies no ratio test on ORB paths
 
-    if method == StereoMatchMethod.SAD and use_fused:
+    if method == StereoMatchMethod.SAD and use_fused and (
+            interpret_pallas or _on_tpu()):
         # one Pallas kernel: exact all-pairs SAD + geometric masks +
         # best/second-best entirely in VMEM (kernels.stereo_fused) — same
         # acceptance semantics as the dense path below, none of its [K,K]

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from rso.config import IFMatchMethod, InterFrameMatchParams
 from rso.frontend.detect import Features
 from rso.frontend.stereo_match import StereoMatches, _arbitrate_right
-from rso.kernels.distance import hamming_matrix_auto, sad_matrix_auto
+from rso.kernels.distance import _on_tpu, hamming_matrix_auto, sad_matrix_auto
 from rso.solver.ransac import ransac_fundamental
 
 _BIG = jnp.float32(1e9)
@@ -78,10 +78,13 @@ def track_interframe(
     pR_xy, pR_patch, pR_desc = _gather_right(prev_right, prev_matches.ridx)
     cR_xy, cR_patch, cR_desc = _gather_right(cur_right, cur_matches.ridx)
 
-    if method == IFMatchMethod.SAD and use_fused:
+    if method == IFMatchMethod.SAD and use_fused and (
+            interpret_pallas or _on_tpu()):
         # fused Pallas core (kernels.stereo_fused.track_sad_fused): both-eye
         # exact SAD + window masks + per-row best in one VMEM kernel — same
-        # acceptance semantics as the dense path, exact SAD (no shortlist)
+        # acceptance semantics as the dense path, exact SAD (no shortlist).
+        # Off-TPU (CPU CI) Pallas only runs interpreted, so fall through to
+        # the dense/MXU formulation instead.
         from rso.kernels.stereo_fused import track_sad_fused
 
         best_c, best_d = track_sad_fused(
