@@ -56,14 +56,19 @@ def bilinear_remap(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray) -> 
 
 
 def _pool_matrix(n: int) -> jnp.ndarray:
-    """[n//2, n] matrix averaging adjacent element pairs (rows sum to 1)."""
-    import numpy as np
+    """[n//2, n] matrix averaging adjacent element pairs (rows sum to 1).
 
-    D = np.zeros((n // 2, n), np.float32)
-    idx = np.arange(n // 2)
-    D[idx, 2 * idx] = 0.5
-    D[idx, 2 * idx + 1] = 0.5
-    return jnp.asarray(D)
+    Built from iotas, NOT a materialized numpy constant: an np array here
+    serializes as an inline dense<...> constant in the program sent to the
+    compile service — 8.4 MB of hex for the four KITTI-size pool matrices,
+    which blew the remote-compile relay's request-size limit (HTTP 413)
+    once the rest of the step program grew.  The iota form is a few ops;
+    XLA constant-folds it server-side and hoists it out of scan bodies.
+    """
+    rows = lax.broadcasted_iota(jnp.int32, (n // 2, n), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n // 2, n), 1)
+    half = cols // 2
+    return jnp.where(half == rows, jnp.float32(0.5), jnp.float32(0.0))
 
 
 def downsample2x(img: jnp.ndarray) -> jnp.ndarray:
