@@ -49,21 +49,39 @@ def _measured_baseline():
 def _wait_for_backend(attempts: int = 6, delay_s: int = 60):
     """Retry backend init: the axon relay releases a dead process's TPU claim
     with latency, and a worker restart surfaces as 'Unable to initialize
-    backend' (failed inits are not cached, so retrying re-inits cleanly)."""
+    backend'.  Guard against the silent-CPU trap: when the TPU plugin init
+    fails AFTER the CPU backend was registered, jax caches the CPU backend
+    and the next jax.devices() returns {cpu} without raising — which would
+    let the bench record ~100x-slower CPU numbers as a TPU result."""
     import time
 
     import jax
 
+    want_tpu = any(p in os.environ.get("JAX_PLATFORMS", "axon")
+                   for p in ("axon", "tpu"))
     for i in range(attempts):
+        err = None
         try:
             jax.devices()
-            return
         except RuntimeError as e:
-            if "Unable to initialize backend" not in str(e) or i == attempts - 1:
+            if "Unable to initialize backend" not in str(e):
                 raise
-            print(f"[bench] backend not ready ({i + 1}/{attempts}): {e}; "
-                  f"retrying in {delay_s}s", file=sys.stderr)
-            time.sleep(delay_s)
+            err = e
+        if err is None:
+            if not want_tpu or jax.default_backend() != "cpu":
+                return
+            err = RuntimeError(
+                "TPU expected but only the CPU backend initialized "
+                "(failed plugin init leaves jax's cached CPU backend)")
+            try:  # drop the cached cpu-only registry so a retry re-inits
+                jax.clear_backends()
+            except Exception:
+                pass
+        if i == attempts - 1:
+            raise err
+        print(f"[bench] backend not ready ({i + 1}/{attempts}): {err}; "
+              f"retrying in {delay_s}s", file=sys.stderr)
+        time.sleep(delay_s)
 
 
 def main():

@@ -75,7 +75,13 @@ def run_bench(n_frames: int = 120, n_points: int = 2000, warmup: int = 3,
     fps_live = n_live / (time.perf_counter() - t0)
 
     # pure device step time by scan-length slope (the tunnel RTT and chunk
-    # fixed costs cancel; see docs/PERF.md "Measurement discipline")
+    # fixed costs cancel; see docs/PERF.md "Measurement discipline").
+    # The state and images are jit ARGUMENTS, not closure captures: jax
+    # inlines closed-over arrays as dense constants in the lowered module,
+    # and the resulting multi-MB payload exceeded the remote-compile relay's
+    # request-size limit (HTTP 413).
+    from functools import partial as _partial
+
     from jax import lax as _lax0
     from rso.engine import make_step as _make_step
 
@@ -84,21 +90,25 @@ def run_bench(n_frames: int = 120, n_points: int = 2000, warmup: int = 3,
     _st0, _ = jax.jit(_step)(_st0, lefts[0], rights[0])
     _st0 = jax.block_until_ready(_st0)
 
-    def _body(carry, _):
-        st, flip = carry
-        l = jnp.where(flip, lefts[0], lefts[1])
-        r = jnp.where(flip, rights[0], rights[1])
-        st, _res = _step(st, l, r)
-        return (st, ~flip), None
+    @_partial(jax.jit, static_argnames=("n",))
+    def _slope_run(st0, imgs, n):
+        def body(carry, _):
+            st, flip = carry
+            l = jnp.where(flip, imgs[0], imgs[2])
+            r = jnp.where(flip, imgs[1], imgs[3])
+            st, _res = _step(st, l, r)
+            return (st, ~flip), None
+
+        return _lax0.scan(body, (st0, jnp.bool_(True)), None, length=n)[0]
+
+    _imgs = jnp.stack([lefts[0], rights[0], lefts[1], rights[1]])
 
     def _t(n):
-        run = jax.jit(lambda: _lax0.scan(_body, (_st0, jnp.bool_(True)),
-                                         None, length=n)[0])
-        jax.block_until_ready(run())
+        jax.block_until_ready(_slope_run(_st0, _imgs, n))
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run())
+            jax.block_until_ready(_slope_run(_st0, _imgs, n))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -171,17 +181,20 @@ def run_bench(n_frames: int = 120, n_points: int = 2000, warmup: int = 3,
                             topk_recall=eng.cfg.tpu.topk_recall)
         return f.response.sum()
 
-    def _t_of(n, passes=3):
+    @_partial(jax.jit, static_argnames=("n",))
+    def _det_run(img, n):
+        # img is an argument (not a closure capture) — see _slope_run above
         def body(c, _):
-            return c + _det(img0 + c * jnp.float32(1e-9)), None
+            return c + _det(img + c * jnp.float32(1e-9)), None
 
-        run = jax.jit(lambda: _lax.scan(body, jnp.float32(0), None,
-                                        length=n)[0])
-        jax.block_until_ready(run())
+        return _lax.scan(body, jnp.float32(0), None, length=n)[0]
+
+    def _t_of(n, passes=3):
+        jax.block_until_ready(_det_run(img0, n))
         best = 1e9
         for _ in range(passes):
             t0 = time.perf_counter()
-            jax.block_until_ready(run())
+            jax.block_until_ready(_det_run(img0, n))
             best = min(best, time.perf_counter() - t0)
         return best
 

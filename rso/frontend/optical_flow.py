@@ -175,10 +175,16 @@ def _coarse_sad_seed(prev_img, cur_img, pts, seed_range: int):
     H, W = prev_img.shape
     K = pts.shape[0]
     # pad so border keypoints keep a centered window (extract_patches clamps
-    # the whole window inside the image, which would bias the seed at edges)
-    prev_p = jnp.pad(prev_img, Ms, mode="edge")
-    cur_p = jnp.pad(cur_img, Ms, mode="edge")
-    ctr = pts + Ms
+    # the whole window inside the image, which would bias the seed at edges).
+    # The search window reaches Ms+3 left/up and Ms+4 right/down of the
+    # keypoint (offset 3+Ms into a size-S pull), so a pad of Ms alone still
+    # clamps for points within 3 px of the border and shifts the idx ->
+    # displacement map (measured: seed dx=3 for a true 4 px shift at
+    # coarse x=2.5); pad the full reach.
+    pad = Ms + 4
+    prev_p = jnp.pad(prev_img, pad, mode="edge")
+    cur_p = jnp.pad(cur_img, pad, mode="edge")
+    ctr = pts + pad
     T = extract_patches(prev_p, ctr, size=8, offset=3).reshape(K, 8, 8)
     Spatch = extract_patches(cur_p, ctr, size=S, offset=3 + Ms)
     Spatch = Spatch.reshape(K, S, S)

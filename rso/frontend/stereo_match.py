@@ -108,21 +108,25 @@ def match_left_right(
     xl, yl = left.xy[:, 0], left.xy[:, 1]
     xr, yr = right.xy[:, 0], right.xy[:, 1]
 
-    pair_ok = left.valid[:, None] & right.valid[None, :]
-    pair_ok &= (left.response[:, None] >= min_response) & (
-        right.response[None, :] >= min_response)
-
-    # epipolar row window (reference :254-256; BF path post-filter :162-164).
-    # Rounded rows preserve the reference's integer row-bucket semantics with
-    # subpixel keypoints.
-    dy = jnp.abs(jnp.round(yl)[:, None] - jnp.round(yr)[None, :])
-    pair_ok &= dy <= jnp.maximum(params.max_y_diff, 0.0)
-
-    # disparity window (reference :283-285 row path, :155-165 BF path)
-    disp = xl[:, None] - xr[None, :]
     max_disp = img_w * 0.7 if method in (
         StereoMatchMethod.SAD, StereoMatchMethod.DESC_RBR) else float(img_w)
-    pair_ok &= (disp >= 1.0) & (disp <= max_disp)
+
+    def build_pair_ok():
+        """[K,K] admissibility planes for the XLA paths.  The fused Pallas
+        path re-derives the identical geometry in-register from the [K]
+        coordinate vectors, so the planes are only built where consumed."""
+        ok = left.valid[:, None] & right.valid[None, :]
+        ok &= (left.response[:, None] >= min_response) & (
+            right.response[None, :] >= min_response)
+        # epipolar row window (reference :254-256; BF post-filter :162-164).
+        # Rounded rows preserve the reference's integer row-bucket semantics
+        # with subpixel keypoints.
+        dy = jnp.abs(jnp.round(yl)[:, None] - jnp.round(yr)[None, :])
+        ok &= dy <= jnp.maximum(params.max_y_diff, 0.0)
+        # disparity window (reference :283-285 row path, :155-165 BF path)
+        disp = xl[:, None] - xr[None, :]
+        ok &= (disp >= 1.0) & (disp <= max_disp)
+        return ok
 
     if method == StereoMatchMethod.SAD:
         max_distance = float(params.sad_max_distance)
@@ -152,7 +156,8 @@ def match_left_right(
         # the dense path, O(K^2 P) moved onto the systolic array
         from rso.kernels.distance import sad_topk_refine
 
-        idx, sad, ok = sad_topk_refine(left.patch, right.patch, pair_ok)
+        idx, sad, ok = sad_topk_refine(left.patch, right.patch,
+                                        build_pair_ok())
         sadm = jnp.where(ok & (sad <= max_distance), sad, _BIG)
         j = jnp.argmin(sadm, axis=1)
         best_d = jnp.take_along_axis(sadm, j[:, None], axis=1)[:, 0]
@@ -167,7 +172,7 @@ def match_left_right(
         else:
             D = hamming_matrix_auto(left.desc, right.desc, use_pallas,
                                     interpret_pallas)
-        Dm = jnp.where(pair_ok & (D <= max_distance), D, _BIG)
+        Dm = jnp.where(build_pair_ok() & (D <= max_distance), D, _BIG)
 
         # best + second-best per left feature
         best_r = jnp.argmin(Dm, axis=1).astype(jnp.int32)

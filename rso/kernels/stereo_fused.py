@@ -39,7 +39,16 @@ _BIG = 1e9
 
 
 def _row_tile(k: int) -> int:
-    return 128 if k % 128 == 0 else k
+    """Largest divisor of k that is <= 128 (the grid row-tile size).
+
+    Full-k tiles are NOT a safe fallback: the unrolled [rows,K] accumulation
+    puts 22-44 MB on the Mosaic scoped-VMEM stack at K=512 vs its 16 MB
+    limit (docs/artifacts/r3_tpu_suite.txt), so any large K must be split
+    even when it is not a 128 multiple."""
+    for t in range(min(128, k), 0, -1):
+        if k % t == 0:
+            return t
+    return k
 
 
 def _kernel(pa_ref, pbt_ref, xl_ref, xr_ref, yl_ref, yr_ref,
