@@ -18,6 +18,7 @@ PAGES = [
     ("index", "README.md", "Overview"),
     ("architecture", "docs/ARCHITECTURE.md", "Architecture"),
     ("modes", "docs/MODES.md", "Mode matrix & envelopes"),
+    ("perf", "docs/PERF.md", "Performance architecture"),
     ("marginalization", "docs/MARGINALIZATION.md", "Marginalization study"),
     ("flow-fault", "docs/FLOW_SCAN_FAULT.md", "Flow-mode scan fault"),
     ("baseline", "BASELINE.md", "Performance baseline"),
