@@ -255,6 +255,14 @@ class TPUParams:
     # Off in the bare default (costs step time for nothing on blob
     # benches); ON in the dataset presets configs/{kitti,euroc,malaga}.ini.
     subpixel_track_refine: bool = False
+    # Refine schedule: GN iterations (one window eval each) and the
+    # SSD-improvement acceptance gate (two extra evals).  iters=2 without
+    # the gate keeps the full ATE win of the original iters=3+gate at 2/5
+    # of the evals — measured 3 seeds x 5 variants on the textured corridor
+    # (tools/exp_refine_trim.py); the det>1e-6 solvability check already
+    # rejects weak-gradient patches.  Gate ON = conservative acceptance.
+    refine_iters: int = 2
+    refine_ssd_gate: bool = False
     # Run the dense detection passes (FAST segment test + Shi-Tomasi/Harris
     # structure tensor) in bfloat16.  Detection is HBM-bound at f32
     # speed-of-light on v5e (~45us per image-octave per pass); bf16 halves the

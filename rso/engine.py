@@ -421,11 +421,15 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
                 # measurement is consistent with the subpixel prev_obs
                 frac_l = p.left.xy - jnp.round(p.left.xy)
                 frac_r = pR_xy - jnp.round(pR_xy)
-                cL_xy = refine_positions(pyr_l[o], p.left.patch, cL_xy,
-                                         trk.valid) + frac_l
+                cL_xy = refine_positions(
+                    pyr_l[o], p.left.patch, cL_xy, trk.valid,
+                    iters=cfg.tpu.refine_iters,
+                    ssd_gate=cfg.tpu.refine_ssd_gate) + frac_l
                 pR_patch = p.right.patch[p_ridx]
-                cR_xy = refine_positions(pyr_r[o], pR_patch, cR_xy,
-                                         trk.valid) + frac_r
+                cR_xy = refine_positions(
+                    pyr_r[o], pR_patch, cR_xy, trk.valid,
+                    iters=cfg.tpu.refine_iters,
+                    ssd_gate=cfg.tpu.refine_ssd_gate) + frac_r
 
             cur_obs = jnp.concatenate(
                 [cL_xy, cR_xy[:, :1], cR_xy[:, 1:2]], axis=1) * scale + shift
