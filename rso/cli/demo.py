@@ -41,6 +41,13 @@ def build_parser():
                         "p=pause/resume, s=single-step, q=quit "
                         "(reference demo-main.cpp:256-284)")
     p.add_argument("--profile", action="store_true", help="print span profile at exit")
+    p.add_argument("--chunk", type=int, default=0, metavar="N",
+                   help="offline fast path: scan N frames per device dispatch "
+                        "(Engine.process_chunk) instead of frame-at-a-time "
+                        "calls — same math and state evolution, amortizes the "
+                        "per-dispatch host/link cost (~1000 FPS on one v5e "
+                        "chip at N>=120).  Disables interactive keys; a "
+                        "shorter final chunk triggers one extra compile")
     p.add_argument("--ba", action="store_true",
                    help="sliding-window bundle adjustment at keyframe rate")
     p.add_argument("--ba-window", type=int, default=8, help="BA keyframe window")
@@ -193,6 +200,48 @@ def main(argv=None):
     n_kf = 0
     last_delta = None
     t_start = time.time()
+
+    if args.chunk > 0:
+        if ba is not None:
+            print("[rso] --chunk is incompatible with --ba (the window BA "
+                  "pipeline consumes per-frame results)", file=sys.stderr)
+            return 2
+        import jax.numpy as jnp
+
+        buf_l, buf_r, buf_ts = [], [], []
+
+        def flush():
+            nonlocal T, last_delta, n_frames
+            if not buf_l:
+                return
+            res = eng.process_chunk(jnp.stack([jnp.asarray(x) for x in buf_l]),
+                                    jnp.stack([jnp.asarray(x) for x in buf_r]))
+            rel = np.asarray(res.pose)
+            val = np.asarray(res.valid)
+            for k in range(len(buf_l)):
+                if val[k]:
+                    last_delta = np.asarray(pose_matrix(jnp.asarray(rel[k])))
+                    T = T @ last_delta
+                elif args.coast and last_delta is not None:
+                    T = T @ last_delta
+                poses.append(T.copy())
+                times.append(buf_ts[k])
+                n_frames += 1
+            logger.log(1, f"[rso] chunk of {len(buf_l)}: "
+                          f"{int(val.sum())}/{len(buf_l)} valid, "
+                          f"pos={T[:3, 3].round(3).tolist()}")
+            buf_l.clear(), buf_r.clear(), buf_ts.clear()
+
+        with prof.span("processNewImagePair"):
+            for left, right, ts in frames:
+                buf_l.append(left)
+                buf_r.append(right)
+                buf_ts.append(ts)
+                if len(buf_l) == args.chunk:
+                    flush()
+            flush()
+        frames = ()  # per-frame loop below sees an exhausted source
+
     for left, right, ts in frames:
         if not keys.wait_if_paused():
             print("[rso] quit requested", file=sys.stderr)

@@ -239,3 +239,24 @@ class TestProfiler:
         p.leave("c")
         s = p.summary()
         assert "a" in s and "b" in s and "c" in s
+
+
+class TestDemoChunked:
+    def test_chunked_cli_matches_per_frame(self, tmp_path):
+        """--chunk N (offline scan dispatch) must write the identical
+        trajectory to the frame-at-a-time loop: same math, same state
+        evolution, only the dispatch granularity differs."""
+        import numpy as np
+
+        from rso.cli import demo
+
+        out_pf = tmp_path / "pf.txt"
+        out_ch = tmp_path / "ch.txt"
+        rc = demo.main(["--synthetic", "--frames", "9", "--out", str(out_pf),
+                        "--verbosity", "0"])
+        assert rc == 0
+        # chunk=4 exercises both the full-chunk path and a short remainder
+        rc = demo.main(["--synthetic", "--frames", "9", "--chunk", "4",
+                        "--out", str(out_ch), "--verbosity", "0"])
+        assert rc == 0
+        np.testing.assert_array_equal(np.loadtxt(out_pf), np.loadtxt(out_ch))
