@@ -33,7 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rso.frontend.detect import _FAST_OFFSETS
 
-TILE_H = 64
+# 32 output rows per band: the unrolled FAST neighbor pack + structure-tensor
+# box sums keep ~20 row-band planes live, and 64-row bands put the Mosaic
+# scoped-VMEM stack at 18.1 MB vs its 16 MB limit (measured on v5e); 32-row
+# bands halve that with the DMA still double-buffered behind compute.
+TILE_H = 32
 HALO = 8     # rows of context per band; also the left-edge column zero-pad
 
 
