@@ -249,9 +249,11 @@ class TPUParams:
     # gated on per-feature SSD improvement.  Measured: improves ATE 6-15% in
     # 6/6 seed x speed configs on the textured corridor (real-image
     # statistics; tools/exp_refine_texture.py), accuracy-neutral on blob
-    # fields (match-structure-limited there).  Measured cost: +0.74 ms/step
-    # at KITTI size on v5e (0.95 -> 1.70 ms; tools/exp_refine_cost.py, after
-    # the one-hot in-patch rewrite — v1's full-image slices cost 7.7 ms).
+    # fields (match-structure-limited there).  Measured cost with the
+    # trimmed r3 schedule (2 iters, no SSD gate): +0.44 ms/step at KITTI
+    # size on v5e (0.94 -> 1.38 ms interleaved; tools/exp_refine_cost.py —
+    # the original 3-iter+gate schedule cost +0.74, v1's full-image slices
+    # 7.7 ms).
     # Off in the bare default (costs step time for nothing on blob
     # benches); ON in the dataset presets configs/{kitti,euroc,malaga}.ini.
     subpixel_track_refine: bool = False
