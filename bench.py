@@ -57,7 +57,9 @@ def _wait_for_backend(attempts: int = 6, delay_s: int = 60):
 
     import jax
 
-    want_tpu = any(p in os.environ.get("JAX_PLATFORMS", "axon")
+    # empty JAX_PLATFORMS means auto-select (which can still silently fall
+    # back to CPU) — treat it like unset, not like an explicit CPU choice
+    want_tpu = any(p in (os.environ.get("JAX_PLATFORMS") or "axon")
                    for p in ("axon", "tpu"))
     for i in range(attempts):
         err = None

@@ -214,13 +214,19 @@ def main(argv=None):
             nonlocal T, last_delta, n_frames
             if not buf_l:
                 return
+            import jax
+
             res = eng.process_chunk(jnp.stack([jnp.asarray(x) for x in buf_l]),
                                     jnp.stack([jnp.asarray(x) for x in buf_r]))
-            rel = np.asarray(res.pose)
+            # ONE batched pose_matrix for the whole chunk: per-frame eager
+            # pose_matrix calls would pay a blocking device round-trip per
+            # valid frame (~30 ms each through the remote-TPU tunnel),
+            # negating the dispatch amortization --chunk exists to provide
+            rel_T = np.asarray(jax.vmap(pose_matrix)(res.pose))
             val = np.asarray(res.valid)
             for k in range(len(buf_l)):
                 if val[k]:
-                    last_delta = np.asarray(pose_matrix(jnp.asarray(rel[k])))
+                    last_delta = rel_T[k]
                     T = T @ last_delta
                 elif args.coast and last_delta is not None:
                     T = T @ last_delta

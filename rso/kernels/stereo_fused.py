@@ -48,7 +48,7 @@ def _row_tile(k: int) -> int:
     for t in range(min(128, k), 0, -1):
         if k % t == 0:
             return t
-    return k
+    raise AssertionError("unreachable: t=1 always divides k")
 
 
 def _kernel(pa_ref, pbt_ref, xl_ref, xr_ref, yl_ref, yr_ref,

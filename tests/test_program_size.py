@@ -20,7 +20,7 @@ LIMIT_MB = 4.0
 
 
 @pytest.mark.parametrize("flow", [False, True])
-def test_step_program_mlir_stays_small(flow):
+def test_step_program_mlir_stays_small(flow, monkeypatch):
     import dataclasses
 
     import jax.export
@@ -29,6 +29,16 @@ def test_step_program_mlir_stays_small(flow):
     from rso.engine import init_state, make_step
     from rso.geometry.stereo_camera import StereoCamera
     from rso.synthetic import synthetic_config
+
+    # the fused Pallas branches are gated on _on_tpu() at trace time; on CPU
+    # CI they would be excluded and the guard would measure a smaller program
+    # than the one a TPU host actually sends to the compile relay.  Mosaic
+    # lowering itself is host-side, so forcing the gate true yields the real
+    # TPU-module payload (custom-call kernels included).
+    import rso.frontend.stereo_match as _sm
+    import rso.frontend.track as _tr
+    monkeypatch.setattr(_sm, "_on_tpu", lambda: True)
+    monkeypatch.setattr(_tr, "_on_tpu", lambda: True)
 
     H, W = 376, 1241
     cam = StereoCamera.make(fx_l=718.856, fy_l=718.856, cx_l=W / 2.0,

@@ -60,10 +60,15 @@ def main():
         return xy + 1e-6 * p[:, :2]          # consume
 
     def f_refine(xy):
-        return refine_positions(img, temps, xy, valid)
+        # pin the ORIGINAL 3-iter + SSD-gate schedule: this tool's
+        # recorded breakdown (+0.74 ms/step docs) measured that schedule,
+        # and the shipped defaults have since moved to iters=2, no gate
+        return refine_positions(img, temps, xy, valid, iters=3,
+                                ssd_gate=True)
 
     def f_refine0(xy):
-        return refine_positions(img, temps, xy, valid, iters=0)
+        return refine_positions(img, temps, xy, valid, iters=0,
+                                ssd_gate=True)
 
     for f in (f_extract, f_refine0, f_refine):
         print(f"{f.__name__:10s}: {slope(mk(f)):7.3f} ms/call", flush=True)
