@@ -61,27 +61,36 @@ def _wait_for_backend(attempts: int = 6, delay_s: int = 60):
     # back to CPU) — treat it like unset, not like an explicit CPU choice
     want_tpu = any(p in (os.environ.get("JAX_PLATFORMS") or "axon")
                    for p in ("axon", "tpu"))
+    # A clean cpu-only init (no exception, just no TPU plugin) is usually
+    # permanent — the host simply has no TPU — so one retry is enough; only
+    # 'Unable to initialize backend' (a transient relay claim release) earns
+    # the full retry schedule.
+    cpu_only_attempts = min(2, attempts)
     for i in range(attempts):
         err = None
+        transient = False
         try:
             jax.devices()
         except RuntimeError as e:
             if "Unable to initialize backend" not in str(e):
                 raise
             err = e
+            transient = True
         if err is None:
             if not want_tpu or jax.default_backend() != "cpu":
                 return
             err = RuntimeError(
                 "TPU expected but only the CPU backend initialized "
-                "(failed plugin init leaves jax's cached CPU backend)")
+                "(failed plugin init leaves jax's cached CPU backend). "
+                "If a CPU run is intended, set JAX_PLATFORMS=cpu explicitly.")
             try:  # drop the cached cpu-only registry so a retry re-inits
                 jax.clear_backends()
             except Exception:
                 pass
-        if i == attempts - 1:
+        budget = attempts if transient else cpu_only_attempts
+        if i >= budget - 1:
             raise err
-        print(f"[bench] backend not ready ({i + 1}/{attempts}): {err}; "
+        print(f"[bench] backend not ready ({i + 1}/{budget}): {err}; "
               f"retrying in {delay_s}s", file=sys.stderr)
         time.sleep(delay_s)
 

@@ -669,7 +669,6 @@ class Engine:
         # calls in one scan dispatch; the patch-based LK rewrite removed the
         # trigger — N=480 KITTI-size flow frames verified in one dispatch.
         # Root-cause notes: docs/FLOW_SCAN_FAULT.md.)
-        max_n = left_imgs.shape[0]
         key = (h, w, "__chunk__")
         if key not in self._step_cache:
             step = make_step(self.cfg, self.cam, h, w,
@@ -680,18 +679,9 @@ class Engine:
                                 st, (ls, rs))
 
             self._step_cache[key] = jax.jit(chunk)
-        if left_imgs.shape[0] <= max_n:
-            self.state, results = self._step_cache[key](
-                self.state, left_imgs, right_imgs)
-            return results
-        outs = []
-        for i in range(0, left_imgs.shape[0], max_n):
-            self.state, res = self._step_cache[key](
-                self.state, left_imgs[i:i + max_n],
-                right_imgs[i:i + max_n])
-            outs.append(res)
-        return jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        self.state, results = self._step_cache[key](
+            self.state, left_imgs, right_imgs)
+        return results
 
     # ---- dynamic threshold accessors (reference h:529-541) ----------------
 

@@ -51,6 +51,17 @@ def _row_tile(k: int) -> int:
     raise AssertionError("unreachable: t=1 always divides k")
 
 
+def _padded_rows(k: int) -> int:
+    """Row count after padding so the grid tile stays wide.
+
+    _row_tile degenerates toward 1-row tiles when k has no divisor near 128
+    (e.g. a prime k from an odd user k_max reaching the kernels verbatim via
+    octave_k_slots), which would mean a k-program grid of untested Mosaic
+    tile shapes.  Pad such k up to the next 128 multiple; the wrappers carry
+    ok=False in the padded rows and slice them off the outputs."""
+    return k if _row_tile(k) >= 8 else -(-k // 128) * 128
+
+
 def _kernel(pa_ref, pbt_ref, xl_ref, xr_ref, yl_ref, yr_ref,
             okl_ref, okr_ref, bd_ref, br_ref, sd_ref, *,
             max_y_diff: float, max_disp: float, max_distance: float):
@@ -142,10 +153,18 @@ def track_sad_fused(
     admissible candidate exists.
     """
     K, P = p_left_patch.shape
-    T = _row_tile(K)
+    Kp = _padded_rows(K)
+    if Kp != K:
+        pad = Kp - K
+        p_left_patch = jnp.pad(p_left_patch, ((0, pad), (0, 0)))
+        p_right_patch = jnp.pad(p_right_patch, ((0, pad), (0, 0)))
+        p_left_xy = jnp.pad(p_left_xy, ((0, pad), (0, 0)))
+        p_right_x = jnp.pad(p_right_x, (0, pad))
+        ok_p = jnp.pad(ok_p, (0, pad))  # padded rows: invalid
+    T = _row_tile(Kp)
     f32 = jnp.float32
 
-    def row(spec_p):   # [K,*] row-sharded operand
+    def row(spec_p):   # [Kp,*] row-sharded operand
         return pl.BlockSpec((T, spec_p), lambda i: (i, 0))
 
     def full(r, c):    # operand every tile reads whole
@@ -154,7 +173,7 @@ def track_sad_fused(
     bd, bc = pl.pallas_call(
         functools.partial(_track_kernel, win_row=float(win_row),
                           win_col=float(win_col), sad_max=float(sad_max)),
-        grid=(K // T,),
+        grid=(Kp // T,),
         in_specs=[
             row(P), full(P, K), row(P), full(P, K),
             row(1), full(1, K), row(1), full(1, K), row(1), full(1, K),
@@ -162,8 +181,8 @@ def track_sad_fused(
         ],
         out_specs=(row(1), row(1)),
         out_shape=(
-            jax.ShapeDtypeStruct((K, 1), f32),
-            jax.ShapeDtypeStruct((K, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Kp, 1), f32),
+            jax.ShapeDtypeStruct((Kp, 1), jnp.int32),
         ),
         interpret=interpret,
     )(
@@ -180,7 +199,7 @@ def track_sad_fused(
         ok_p.astype(f32)[:, None],
         ok_c.astype(f32)[None, :],
     )
-    return bc[:, 0], bd[:, 0]
+    return bc[:K, 0], bd[:K, 0]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -203,7 +222,13 @@ def stereo_sad_fused(
     the jnp dense path's sentinel.
     """
     K, P = patches_l.shape
-    T = _row_tile(K)
+    Kp = _padded_rows(K)
+    if Kp != K:
+        pad = Kp - K
+        patches_l = jnp.pad(patches_l, ((0, pad), (0, 0)))
+        xy_l = jnp.pad(xy_l, ((0, pad), (0, 0)))
+        ok_l = jnp.pad(ok_l, (0, pad))  # padded rows: invalid
+    T = _row_tile(Kp)
     f32 = jnp.float32
 
     def row(spec_p):
@@ -216,7 +241,7 @@ def stereo_sad_fused(
         functools.partial(_kernel, max_y_diff=float(max_y_diff),
                           max_disp=float(max_disp),
                           max_distance=float(max_distance)),
-        grid=(K // T,),
+        grid=(Kp // T,),
         in_specs=[
             row(P), full(P, K),
             row(1), full(1, K), row(1), full(1, K),
@@ -224,9 +249,9 @@ def stereo_sad_fused(
         ],
         out_specs=(row(1), row(1), row(1)),
         out_shape=(
-            jax.ShapeDtypeStruct((K, 1), f32),
-            jax.ShapeDtypeStruct((K, 1), jnp.int32),
-            jax.ShapeDtypeStruct((K, 1), f32),
+            jax.ShapeDtypeStruct((Kp, 1), f32),
+            jax.ShapeDtypeStruct((Kp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Kp, 1), f32),
         ),
         interpret=interpret,
     )(
@@ -240,4 +265,4 @@ def stereo_sad_fused(
         ok_r.astype(f32)[None, :],
     )
     bd, br, sd = out
-    return br[:, 0], bd[:, 0], sd[:, 0]
+    return br[:K, 0], bd[:K, 0], sd[:K, 0]

@@ -234,3 +234,78 @@ class TestNullvec9:
         x = np.asarray(nullvec9_pallas(M, interpret=True))
         assert np.all(np.isfinite(x))
         np.testing.assert_allclose(np.linalg.norm(x, axis=1), 1.0, atol=1e-3)
+
+
+class TestFusedOddK:
+    """The fused stage-3/4 kernels must handle K with no divisor near 128
+    (e.g. prime K from an odd user k_max): _padded_rows pads the row-tiled
+    side to the next 128 multiple and slices it back off (ADVICE r3)."""
+
+    def _numpy_stereo(self, pl_, pr_, xy_l, xy_r, ok_l, ok_r,
+                      max_y_diff, max_disp, max_distance):
+        D = np.abs(pl_[:, None, :] - pr_[None, :, :]).sum(-1)
+        dy = np.abs(np.round(xy_l[:, 1])[:, None]
+                    - np.round(xy_r[:, 1])[None, :])
+        disp = xy_l[:, 0][:, None] - xy_r[:, 0][None, :]
+        ok = (ok_l[:, None] & ok_r[None, :] & (dy <= max_y_diff)
+              & (disp >= 1.0) & (disp <= max_disp) & (D <= max_distance))
+        Dm = np.where(ok, D, 1e9)
+        best_r = Dm.argmin(1)
+        best_d = Dm.min(1)
+        return best_r, best_d
+
+    def test_stereo_fused_prime_k(self, rng):
+        from rso.kernels.stereo_fused import _padded_rows, stereo_sad_fused
+
+        K = 257  # prime: _row_tile would degenerate without padding
+        assert _padded_rows(K) == 384
+        pl_ = rng.integers(0, 255, (K, 64)).astype(np.float32)
+        pr_ = rng.integers(0, 255, (K, 64)).astype(np.float32)
+        xy_l = rng.uniform(10, 300, (K, 2)).astype(np.float32)
+        xy_r = xy_l - np.stack([rng.uniform(2, 40, K),
+                                rng.uniform(-0.4, 0.4, K)],
+                               -1).astype(np.float32)
+        ok_l = rng.random(K) > 0.1
+        ok_r = rng.random(K) > 0.1
+        br, bd, sd = stereo_sad_fused(
+            jnp.asarray(pl_), jnp.asarray(pr_), jnp.asarray(xy_l),
+            jnp.asarray(xy_r), jnp.asarray(ok_l), jnp.asarray(ok_r),
+            max_y_diff=1.0, max_disp=100.0, max_distance=6000.0,
+            interpret=True)
+        ref_r, ref_d = self._numpy_stereo(pl_, pr_, xy_l, xy_r, ok_l, ok_r,
+                                          1.0, 100.0, 6000.0)
+        assert br.shape == (K,) and bd.shape == (K,) and sd.shape == (K,)
+        hit = ref_d < 1e9
+        np.testing.assert_array_equal(np.asarray(br)[hit], ref_r[hit])
+        np.testing.assert_allclose(np.asarray(bd)[hit], ref_d[hit])
+
+    def test_track_fused_prime_k(self, rng):
+        from rso.kernels.stereo_fused import track_sad_fused
+
+        K = 131  # prime -> padded to 256
+        pats = [rng.integers(0, 255, (K, 64)).astype(np.float32)
+                for _ in range(4)]
+        p_xy = rng.uniform(20, 200, (K, 2)).astype(np.float32)
+        c_xy = (p_xy + rng.uniform(-3, 3, (K, 2))).astype(np.float32)
+        p_rx = (p_xy[:, 0] - rng.uniform(2, 30, K)).astype(np.float32)
+        c_rx = (c_xy[:, 0] - rng.uniform(2, 30, K)).astype(np.float32)
+        ok_p = rng.random(K) > 0.15
+        ok_c = rng.random(K) > 0.15
+        bc, bd = track_sad_fused(
+            *(jnp.asarray(p) for p in pats), jnp.asarray(p_xy),
+            jnp.asarray(c_xy), jnp.asarray(p_rx), jnp.asarray(c_rx),
+            jnp.asarray(ok_p), jnp.asarray(ok_c),
+            win_row=8.0, win_col=16.0, sad_max=8000.0, interpret=True)
+        # numpy reference of the _track_kernel semantics
+        acc_l = np.abs(pats[0][:, None, :] - pats[1][None, :, :]).sum(-1)
+        acc_r = np.abs(pats[2][:, None, :] - pats[3][None, :, :]).sum(-1)
+        dy = np.abs(p_xy[:, 1][:, None] - c_xy[:, 1][None, :])
+        dxl = np.abs(p_xy[:, 0][:, None] - c_xy[:, 0][None, :])
+        dxr = np.abs(p_rx[:, None] - c_rx[None, :])
+        ok = (ok_p[:, None] & ok_c[None, :] & (dy <= 8.0) & (dxl <= 16.0)
+              & (dxr <= 16.0) & (acc_l <= 8000.0) & (acc_r <= 8000.0))
+        Dm = np.where(ok, acc_l + acc_r, 1e9)
+        hit = Dm.min(1) < 1e9
+        assert bc.shape == (K,) and bd.shape == (K,)
+        np.testing.assert_array_equal(np.asarray(bc)[hit], Dm.argmin(1)[hit])
+        np.testing.assert_allclose(np.asarray(bd)[hit], Dm.min(1)[hit])

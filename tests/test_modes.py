@@ -108,21 +108,41 @@ class TestModeATE:
         assert a < 0.2, f"fast-motion flow ATE {a:.4f} m"
 
 
-def _run3(cfg, seq):
+def _run_errs(cfg, seq):
+    """Run 4 frames; return (results, per-frame translation errors [m])."""
+    from rso.geometry import pose_matrix
+
     eng = Engine(cfg, seq.cam)
-    results = [eng.process_frame(l, r) for l, r in seq.frames[:4]]
-    return results
+    results, errs = [], []
+    for i, (l, r) in enumerate(seq.frames[:4]):
+        res = eng.process_frame(l, r)
+        results.append(res)
+        if i > 0 and bool(res.valid):
+            M = np.asarray(pose_matrix(res.pose))
+            errs.append(float(np.linalg.norm(
+                M[:3, 3] - seq.rel_poses[i - 1][:3, 3])))
+    return results, errs
 
 
 class TestDetectorModes:
+    """Per-frame pose-error bounds on the BLOB scene (TestModeATE covers the
+    same mode combos with ATE bounds on texture).  Bounds are ~4x the
+    measured per-frame translation errors at 0.25 m/frame motion (r4 probe:
+    ORB_BF 0.019-0.034, FAST_ORB_WIN 0.033-0.055; a collapse to
+    motion-magnitude error now fails instead of passing any(valid))."""
+
     def test_klt_mode(self, seq):
         cfg = synthetic_config()
         cfg = cfg.replace(detect=dataclasses.replace(
             cfg.detect, detect_method=DetectMethod.KLT,
             minimum_KLT_response=5.0))
-        rs = _run3(cfg, seq)
-        assert any(bool(r.valid) for r in rs[1:])
+        rs, errs = _run_errs(cfg, seq)
+        assert len(errs) == 3  # every frame valid
         assert int(np.asarray(rs[1].detected_feats).sum()) > 100
+        # KLT on sparse blobs is marginal (measured 0.20-0.21 m/frame —
+        # its real accuracy bound is TestModeATE's textured-scene 0.06 ATE);
+        # this bound only catches total collapse (error >= the 0.25 motion)
+        assert max(errs) < 0.25, errs
 
     def test_orb_mode_single_octave(self, seq):
         cfg = synthetic_config()
@@ -138,8 +158,9 @@ class TestDetectorModes:
                 orb_max_distance=64.0),
         )
         assert cfg.n_octaves == 1  # ORB forces one octave
-        rs = _run3(cfg, seq)
-        assert any(bool(r.valid) for r in rs[1:])
+        _, errs = _run_errs(cfg, seq)
+        assert len(errs) == 3
+        assert max(errs) < 0.14, errs
 
     def test_fast_orb_desc_win(self, seq):
         cfg = synthetic_config()
@@ -154,8 +175,9 @@ class TestDetectorModes:
                 cfg.if_match, ifm_method=IFMatchMethod.DESC_WIN,
                 orb_max_distance=64.0),
         )
-        rs = _run3(cfg, seq)
-        assert any(bool(r.valid) for r in rs[1:])
+        _, errs = _run_errs(cfg, seq)
+        assert len(errs) == 3
+        assert max(errs) < 0.22, errs
 
 
 class TestFASTServo:
