@@ -5,8 +5,18 @@ from rso.ba.distributed import (
     pad_problem,
 )
 from rso.ba.window import KeyframeObs, SlidingWindow, should_make_keyframe
+from rso.ba.window_sharded import (
+    make_win_mesh,
+    split_into_windows,
+    stitch_window_poses,
+    window_sharded_bundle_adjust,
+)
 
 __all__ = [
+    "make_win_mesh",
+    "split_into_windows",
+    "stitch_window_poses",
+    "window_sharded_bundle_adjust",
     "BAProblem",
     "BAResult",
     "ba_normal_equations",
