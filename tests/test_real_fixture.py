@@ -249,6 +249,38 @@ class TestStereoMatchRealPixels:
         gt_disp = GT_L[0] - GT_R[0]
         assert np.abs(np.median(d_near) - gt_disp) <= 1.0
 
+    def test_engine_zero_motion_on_real_pair(self, pair):
+        """Full 5-stage pipeline on REAL pixels, static case: processing the
+        identical real pair twice must estimate ~zero motion (< 0.05 deg,
+        < 5 mm).  The end-to-end real-data contract no synthetic render can
+        stand in for; the CLI-level version (KITTI-layout tree + native
+        decode ring + demo) is tools/real_kitti_drive.py ->
+        docs/artifacts/real_kitti_drive_r4.json."""
+        import dataclasses
+
+        from rso.config import RSOConfig
+        from rso.engine import Engine
+        from rso.geometry import pose_matrix
+        from rso.geometry.stereo_camera import StereoCamera
+
+        L, R = pair
+        H, W = L.shape
+        cam = StereoCamera.make(fx_l=700.0, fy_l=700.0, cx_l=W / 2.0,
+                                cy_l=H / 2.0, baseline=0.12)
+        cfg = RSOConfig()
+        cfg = cfg.replace(lr_match=dataclasses.replace(
+            cfg.lr_match, max_y_diff=1.0, enable_robust_1to1_match=True,
+            sad_max_distance=1000, sad_max_ratio=0.6))
+        eng = Engine(cfg, cam)
+        eng.process_frame(L, R)
+        res = eng.process_frame(L, R)
+        assert bool(res.valid)
+        M = np.asarray(pose_matrix(res.pose))
+        ang = np.degrees(np.arccos(np.clip((np.trace(M[:3, :3]) - 1) / 2,
+                                           -1, 1)))
+        assert ang < 0.05, f"static real pair: {ang:.4f} deg rotation"
+        assert np.linalg.norm(M[:3, 3]) < 0.005
+
 
 class TestDescriptorMarginRealTexture:
     """Settles the round-1 question: is the BRIEF descriptor discriminative
