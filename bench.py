@@ -18,6 +18,21 @@ import sys
 REFERENCE_FPS_ESTIMATE = 20.0  # fallback only; see module docstring
 
 
+def _same_scene_comparison():
+    """Blob-scene mean ATEs from the same-pixels comparison artifact
+    (tools/compare_baseline.py -> docs/artifacts/compare_baseline_r4.json):
+    both pipelines on IDENTICAL PNGs, identical trajectory integration.
+    Returns (rso_ate, baseline_ate) or (None, None)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "artifacts", "compare_baseline_r4.json")
+    try:
+        with open(path) as f:
+            m = json.load(f)["mean_ate_by_scene"]["blob"]
+        return float(m["rso"]), float(m["baseline"])
+    except (OSError, ValueError, KeyError):
+        return None, None
+
+
 def _measured_baseline():
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
@@ -109,6 +124,7 @@ def main():
     out = run_bench(n_frames=480, n_points=8000, width=1241, height=376,
                     repeat_passes=4)
     base_fps, base_kind = _measured_baseline()
+    ss_rso, ss_base = _same_scene_comparison()
     line = {
         "metric": "vo_frames_per_sec_per_chip_kitti_size",
         "value": round(out["fps"], 3),
@@ -117,6 +133,12 @@ def main():
         "baseline_fps": base_fps,
         "baseline_kind": base_kind,
         "ate_rmse_m": round(out["ate_rmse_m"], 4),
+        # same-pixels accuracy contract (3-seed means, blob scene, TPU):
+        # rso must match-or-beat the reference-port baseline on ATE
+        "same_scene_ate_rso_m": ss_rso,
+        "same_scene_ate_baseline_m": ss_base,
+        "same_scene_ate_ratio": (round(ss_rso / ss_base, 3)
+                                 if ss_rso is not None else None),
         "step_ms_device": round(out["step_ms_device"], 4),
         "fps_device_step": round(out["fps_device_step"], 1),
         "ba_iters_per_sec": round(out["ba_iters_per_sec"], 1),
