@@ -274,6 +274,20 @@ class TPUParams:
     # >= 256 and inflates NMS ties, churning ~10% of the keypoint set.  OFF by
     # default; a throughput-over-accuracy escape hatch only.
     detect_bf16: bool = False
+    # Run the FAST segment test's 16 neighbor comparisons on an int16 image
+    # scaled by 16 — EXACT (unlike detect_bf16): u8 pixels and every 2x2-avg
+    # pyramid value are multiples of 1/16, so x16 is integral and the
+    # comparisons are bit-identical while the 16 shifted neighbor reads move
+    # half the bytes.  (With a bilinear rectification map active the x16
+    # values are no longer integral and truncation can shift the effective
+    # threshold by <1/16 px-value — gate it off in rectified configs.)
+    # Measured on v5e (tools/exp_detect_i16.py, 8-round interleaved step
+    # A/B): +0.6% median step — within the +-3% drift band, NO-GO.  XLA
+    # already fuses the 16 neighbor reads into one sweep over the f32
+    # image, so halving the operand width saves no HBM traffic and the
+    # extra quantize pass costs slightly more than it returns.  OFF; kept
+    # as an exactness-preserving library option + the documented verdict.
+    fast_i16: bool = False
     interpret_pallas: bool = False     # run Pallas kernels in interpreter mode (CPU tests)
 
 

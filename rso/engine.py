@@ -263,13 +263,15 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
                                  use_pallas_detect=cfg.tpu.use_pallas_detect,
                                  interpret_pallas=cfg.tpu.interpret_pallas,
                                  bf16=cfg.tpu.detect_bf16,
-                                 topk_recall=cfg.tpu.topk_recall)
+                                 topk_recall=cfg.tpu.topk_recall,
+                                 fast_i16=cfg.tpu.fast_i16)
             fr = detect_features(pyr_r[o], cfg.detect, Ks[o], th, need_desc,
                                  arc=cfg.tpu.fast_arc,
                                  use_pallas_detect=cfg.tpu.use_pallas_detect,
                                  interpret_pallas=cfg.tpu.interpret_pallas,
                                  bf16=cfg.tpu.detect_bf16,
-                                 topk_recall=cfg.tpu.topk_recall)
+                                 topk_recall=cfg.tpu.topk_recall,
+                                 fast_i16=cfg.tpu.fast_i16)
             # octave budget: keep only the strongest budget[o] slots
             slot_ok = jnp.arange(Ks[o]) < budgets[o]
             fl = fl._replace(valid=fl.valid & slot_ok)

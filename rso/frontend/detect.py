@@ -577,6 +577,7 @@ def detect_features(
     interpret_pallas: bool = False,
     bf16: bool = False,
     topk_recall: float = 0.95,
+    fast_i16: bool = False,
 ) -> Features:
     """Detect up to k_slots features on one octave image.
 
@@ -613,7 +614,17 @@ def detect_features(
                                           win=params.KLT_win,
                                           interpret=interpret_pallas)
         else:
-            corner = fast_corner_mask(work, fast_threshold, arc=arc)
+            if fast_i16 and not bf16:
+                # exact half-width segment test: every 2x2-avg pyramid value
+                # is a multiple of 1/16, so x16 is integral and the int16
+                # comparisons are bit-identical to the f32 ones
+                # (TPUParams.fast_i16)
+                imgq = jnp.round(work * 16.0).astype(jnp.int16)
+                thq = (fast_threshold.astype(jnp.int32) * 16).astype(
+                    jnp.int16)
+                corner = fast_corner_mask(imgq, thq, arc=arc)
+            else:
+                corner = fast_corner_mask(work, fast_threshold, arc=arc)
             resp = jnp.where(corner,
                              shi_tomasi_response(work, params.KLT_win),
                              -jnp.inf)

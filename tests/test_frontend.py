@@ -355,3 +355,25 @@ class TestRefine:
         out = refine_positions(img, temps, xy, jnp.asarray([True, False]))
         # flat template -> singular normal matrix -> no update; invalid -> none
         np.testing.assert_allclose(np.asarray(out), np.asarray(xy))
+
+
+class TestFastI16:
+    def test_i16_segment_test_bit_exact(self, seq, cfg):
+        """TPUParams.fast_i16: the x16 int16 FAST comparison must be
+        bit-identical to the f32 path on every pyramid octave (u8 pixels
+        and 2x2-avg values are multiples of 1/16)."""
+        from rso.frontend.pyramid import build_pyramid
+
+        l, _ = seq.frames[0]
+        pyr = build_pyramid(jnp.asarray(l, jnp.float32), 3)
+        for img in pyr:
+            a = detect_features(img, cfg.detect, 256, jnp.int32(20), False,
+                                fast_i16=False)
+            b = detect_features(img, cfg.detect, 256, jnp.int32(20), False,
+                                fast_i16=True)
+            np.testing.assert_array_equal(np.asarray(a.valid),
+                                          np.asarray(b.valid))
+            np.testing.assert_array_equal(np.asarray(a.xy),
+                                          np.asarray(b.xy))
+            np.testing.assert_array_equal(np.asarray(a.response),
+                                          np.asarray(b.response))

@@ -1,0 +1,148 @@
+"""Offline trajectory refinement through the window-sharded BA layer.
+
+The production role of rso.ba.window_sharded (BASELINE.md round-4 section):
+a long VO trajectory is split into overlapping keyframe windows, EVERY
+window solves concurrently over the ('win','lmk') mesh (hosts x chips, zero
+steady-state DCN traffic), and the solved windows stitch back into one
+global trajectory.  This tool runs that pipeline end-to-end on a long
+textured corridor and reports ATE: plain VO vs window-sharded refinement.
+
+Usage (virtual 8-device mesh, CPU):
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+  PALLAS_AXON_POOL_IPS= python tools/eval_global_refine.py [--frames 240]
+
+Writes docs/artifacts/global_refine_r4.json.
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--speed", type=float, default=0.5)
+    ap.add_argument("--kf-gap", type=int, default=3)
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--overlap", type=int, default=2)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--out", default=os.path.join(
+        ROOT, "docs", "artifacts", "global_refine_r4.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    from rso.ba.window import KeyframeObs, SlidingWindow
+    from rso.ba.window_sharded import (
+        make_win_mesh, split_into_windows, stitch_window_poses,
+        window_sharded_bundle_adjust)
+    from rso.ba.pipeline import keyframe_obs_from_state
+    from rso.engine import Engine
+    from rso.geometry import pose_matrix
+    from rso.metrics.ate import ate_rmse
+    from rso.synthetic import make_textured_sequence, textured_config
+
+    n_dev = len(jax.devices())
+    n_win_axis = min(4, n_dev)
+    mesh = make_win_mesh(n_win_axis, max(n_dev // n_win_axis, 1))
+    print(f"devices: {n_dev}, mesh {mesh.devices.shape} ('win','lmk')",
+          flush=True)
+
+    results = []
+    for seed in args.seeds:
+        seq = make_textured_sequence(n_frames=args.frames, H=200, W=320,
+                                     speed=args.speed, seed=seed)
+        cfg = textured_config()
+        eng = Engine(cfg, seq.cam)
+
+        # ---- VO pass, collecting keyframe observations -------------------
+        T = np.eye(4)
+        vo_poses = [T.copy()]
+        kfs: list[KeyframeObs] = []
+        kf_frame_idx = []
+        since_kf = 10 ** 9
+        for i, (l, r) in enumerate(seq.frames):
+            res = eng.process_frame(l, r)
+            if bool(res.valid):
+                T = T @ np.asarray(pose_matrix(res.pose))
+            vo_poses.append(T.copy())
+            since_kf += 1
+            total = int(np.asarray(res.stereo_matches).sum())
+            if total > 0 and since_kf >= args.kf_gap:
+                kfs.append(keyframe_obs_from_state(
+                    eng.state, cfg, T.copy(),
+                    obs_outlier=np.asarray(res.obs_outlier), pose_vo=T.copy()))
+                kf_frame_idx.append(i)
+                eng.set_this_frame_as_kf()
+                since_kf = 0
+        vo_poses = np.stack(vo_poses)[1:]
+        ate_vo = float(ate_rmse(vo_poses, seq.poses))
+        n_kf = len(kfs)
+        print(f"seed {seed}: {n_kf} keyframes from {args.frames} frames, "
+              f"VO ATE {ate_vo:.4f}", flush=True)
+
+        # ---- window problems (equal shapes for the stacked solve) --------
+        ranges = split_into_windows(n_kf, args.window, args.overlap)
+        if len(ranges[-1]) < args.window:
+            ranges[-1] = range(n_kf - args.window, n_kf)
+        probs, rels = [], []
+        for r in ranges:
+            win = SlidingWindow(args.window, 256, min_obs=2, cam=seq.cam)
+            for gi in r:
+                win.add_keyframe(kfs[gi])
+            prob, _ = win.build_problem(seq.cam)
+            probs.append(prob)
+            rels.append(win.rel_measurements())
+
+        # ---- one sharded solve for ALL windows ---------------------------
+        outs = window_sharded_bundle_adjust(
+            seq.cam, probs, mesh, max_iters=15, rel_meas=rels,
+            rel_w_rot=4.0e2, rel_w_trans=25.0)
+
+        # ---- stitch + per-frame trajectory correction --------------------
+        stitched = stitch_window_poses(
+            [np.asarray(o.poses) for o in outs], ranges, args.overlap, n_kf)
+        # propagate each KF's correction to the frames after it
+        refined = vo_poses.copy()
+        for k, fi in enumerate(kf_frame_idx):
+            G = stitched[k] @ np.linalg.inv(vo_poses[fi])
+            end = (kf_frame_idx[k + 1] if k + 1 < n_kf else len(refined))
+            for j in range(fi, end):
+                refined[j] = G @ vo_poses[j]
+        ate_ref = float(ate_rmse(refined, seq.poses))
+        iters = [int(np.asarray(o.n_iters)) for o in outs]
+        print(f"seed {seed}: refined ATE {ate_ref:.4f} "
+              f"({ate_vo / max(ate_ref, 1e-9):.2f}x), windows "
+              f"{len(probs)}, LM iters {iters}", flush=True)
+        results.append({
+            "seed": seed, "frames": args.frames, "keyframes": n_kf,
+            "windows": len(probs), "ate_vo_m": round(ate_vo, 4),
+            "ate_refined_m": round(ate_ref, 4),
+            "improvement": round(ate_vo / max(ate_ref, 1e-9), 3),
+        })
+
+    doc = {
+        "what": "offline window-sharded global refinement (rso.ba."
+                "window_sharded): VO -> overlapping windows -> one sharded "
+                "solve over ('win','lmk') mesh -> stitch",
+        "mesh": list(mesh.devices.shape),
+        "mean_improvement": round(
+            float(np.mean([r["improvement"] for r in results])), 3),
+        "results": results,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc["results"]))
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
