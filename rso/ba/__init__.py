@@ -4,6 +4,7 @@ from rso.ba.distributed import (
     make_mesh,
     pad_problem,
 )
+from rso.ba.offline import KeyframeCollector, refine_trajectory
 from rso.ba.window import KeyframeObs, SlidingWindow, should_make_keyframe
 from rso.ba.window_sharded import (
     make_win_mesh,
@@ -13,6 +14,8 @@ from rso.ba.window_sharded import (
 )
 
 __all__ = [
+    "KeyframeCollector",
+    "refine_trajectory",
     "make_win_mesh",
     "split_into_windows",
     "stitch_window_poses",

@@ -50,6 +50,11 @@ def build_parser():
                         "shorter final chunk triggers one extra compile")
     p.add_argument("--ba", action="store_true",
                    help="sliding-window bundle adjustment at keyframe rate")
+    p.add_argument("--ba-offline", action="store_true",
+                   help="collect keyframes during the run, then refine the "
+                        "whole trajectory afterwards via window-sharded BA "
+                        "(all windows solve concurrently over the local "
+                        "device mesh; rso.ba.offline.refine_trajectory)")
     p.add_argument("--ba-window", type=int, default=8, help="BA keyframe window")
     p.add_argument("--ba-landmarks", type=int, default=1024, help="BA landmark slots")
     p.add_argument("--ba-distributed", action="store_true",
@@ -192,6 +197,16 @@ def main(argv=None):
                       max_landmarks=args.ba_landmarks, mesh=mesh)
         ba.engine = eng
 
+    collector = None
+    if args.ba_offline:
+        if ba is not None or args.chunk > 0:
+            print("[rso] --ba-offline needs the per-frame path without --ba "
+                  "(it collects keyframe state each frame)", file=sys.stderr)
+            return 2
+        from rso.ba.offline import KeyframeCollector
+
+        collector = KeyframeCollector(eng, cfg)
+
     keys = _KeyControl(start_paused=args.pause)
     T = np.eye(4)
     poses = [T.copy()]
@@ -272,6 +287,8 @@ def main(argv=None):
         poses.append(T.copy())
         times.append(ts)
         n_frames += 1
+        if collector is not None:
+            collector.observe(n_frames - 1, res, T)
         if ba is not None:
             logger.log(1, f"[rso] frame {n_frames}: valid={valid} "
                           f"kf={bool(out.is_keyframe)} "
@@ -286,6 +303,20 @@ def main(argv=None):
         print(f"[rso] {n_kf} keyframes in window BA")
 
     poses = np.stack(poses)
+    if collector is not None and len(collector.kfs) >= 3:
+        from rso.ba.offline import refine_trajectory
+
+        # poses[0] is the pre-run identity; frames are poses[1:]
+        refined = refine_trajectory(cam, collector.kfs,
+                                    collector.kf_frame_idx, poses[1:],
+                                    window=args.ba_window)
+        print(f"[rso] offline window-sharded refine: "
+              f"{len(collector.kfs)} keyframes")
+        if gt is not None:
+            n = min(len(refined), len(gt))
+            print(f"[rso] VO-only ATE: {ate_rmse(poses[1:][:n], gt[:n]):.4f}"
+                  f" m -> refined: {ate_rmse(refined[:n], gt[:n]):.4f} m")
+        poses = np.concatenate([poses[:1], refined])
     from rso.io.trajectory import write_kitti, write_tum
 
     write_kitti(args.out, poses)

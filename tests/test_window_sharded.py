@@ -157,3 +157,87 @@ class TestSplitStitch:
             per_win.append(np.stack(loc, dtype=np.float32))
         out = stitch_window_poses(per_win, ranges, ov, n)
         np.testing.assert_allclose(out, mats, atol=1e-4)
+
+
+class TestOfflineRefine:
+    """rso.ba.offline.refine_trajectory: drifted VO + exact keyframe
+    observations -> window-sharded solve + stitch must recover most of the
+    drift (the library form of tools/eval_global_refine.py)."""
+
+    def test_recovers_injected_drift(self):
+        from rso.ba.offline import refine_trajectory
+        from rso.ba.window import KeyframeObs
+        from rso.ba.window_sharded import make_win_mesh
+        from rso.metrics.ate import ate_rmse
+
+        rng = np.random.default_rng(3)
+        n_kf, L = 12, 96
+        # ground-truth forward trajectory with gentle yaw
+        gt = []
+        T = np.eye(4)
+        for i in range(n_kf):
+            gt.append(T.copy())
+            d = np.eye(4)
+            d[:3, :3] = Rotation.from_rotvec([0, 0.01, 0]).as_matrix()
+            d[:3, 3] = [0, 0, 0.5]
+            T = T @ d
+        gt = np.stack(gt)
+        lmks = np.stack([rng.uniform(-6, 6, L), rng.uniform(-3, 3, L),
+                         rng.uniform(4, 20, L)], -1)
+
+        def project(T_wc, P):
+            Pc = (P - T_wc[:3, 3]) @ T_wc[:3, :3]
+            z = Pc[:, 2]
+            uL = 500.0 * Pc[:, 0] / z + 320.0
+            vL = 500.0 * Pc[:, 1] / z + 240.0
+            uR = 500.0 * (Pc[:, 0] - 0.5) / z + 320.0
+            return np.stack([uL, vL, uR, vL], -1), z > 0.5
+
+        # drifted VO: growing yaw error
+        vo = []
+        for i, Tg in enumerate(gt):
+            E = np.eye(4)
+            E[:3, :3] = Rotation.from_rotvec([0, 0.004 * i, 0]).as_matrix()
+            E[:3, 3] = [0.02 * i, 0, 0]
+            vo.append(E @ Tg)
+        vo = np.stack(vo)
+
+        kfs = []
+        for i in range(n_kf):
+            obs, ok = project(gt[i], lmks)  # EXACT observations
+            kfs.append(KeyframeObs(pose_wc=vo[i].copy(),
+                                   ids=np.arange(L)[ok].astype(np.int64),
+                                   obs=obs[ok].astype(np.float32),
+                                   pose_vo=vo[i].copy()))
+
+        from rso.geometry.stereo_camera import StereoCamera
+
+        cam = StereoCamera.make(fx_l=500.0, fy_l=500.0, cx_l=320.0,
+                                cy_l=240.0, baseline=0.5)
+        mesh = make_win_mesh(4, 2)
+        refined = refine_trajectory(cam, kfs, list(range(n_kf)), vo,
+                                    window=6, overlap=2, mesh=mesh,
+                                    rel_w_rot=0.0, rel_w_trans=0.0)
+        ate_vo = ate_rmse(vo, gt)
+        ate_ref = ate_rmse(refined, gt)
+        assert ate_ref < 0.5 * ate_vo, (ate_vo, ate_ref)
+
+    def test_too_few_keyframes_passthrough(self):
+        from rso.ba.offline import refine_trajectory
+        from rso.geometry.stereo_camera import StereoCamera
+
+        cam = StereoCamera.make(fx_l=500.0, fy_l=500.0, cx_l=320.0,
+                                cy_l=240.0, baseline=0.5)
+        vo = np.tile(np.eye(4), (5, 1, 1))
+        out = refine_trajectory(cam, [], [], vo)
+        np.testing.assert_array_equal(out, vo)
+
+    def test_demo_cli_ba_offline(self, tmp_path):
+        """rso-demo --ba-offline end-to-end on the synthetic sequence."""
+        from rso.cli import demo
+
+        out = tmp_path / "traj.txt"
+        rc = demo.main(["--synthetic", "--frames", "16", "--ba-offline",
+                        "--out", str(out), "--verbosity", "0"])
+        assert rc == 0
+        assert np.loadtxt(out).shape[1] == 12

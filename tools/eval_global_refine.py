@@ -38,11 +38,8 @@ def main():
 
     import jax
 
-    from rso.ba.window import KeyframeObs, SlidingWindow
-    from rso.ba.window_sharded import (
-        make_win_mesh, split_into_windows, stitch_window_poses,
-        window_sharded_bundle_adjust)
-    from rso.ba.pipeline import keyframe_obs_from_state
+    from rso.ba.offline import KeyframeCollector, refine_trajectory
+    from rso.ba.window_sharded import make_win_mesh
     from rso.engine import Engine
     from rso.geometry import pose_matrix
     from rso.metrics.ate import ate_rmse
@@ -62,67 +59,33 @@ def main():
         eng = Engine(cfg, seq.cam)
 
         # ---- VO pass, collecting keyframe observations -------------------
+        coll = KeyframeCollector(eng, cfg, min_kf_gap=args.kf_gap)
         T = np.eye(4)
-        vo_poses = [T.copy()]
-        kfs: list[KeyframeObs] = []
-        kf_frame_idx = []
-        since_kf = 10 ** 9
+        vo_poses = []
         for i, (l, r) in enumerate(seq.frames):
             res = eng.process_frame(l, r)
             if bool(res.valid):
                 T = T @ np.asarray(pose_matrix(res.pose))
             vo_poses.append(T.copy())
-            since_kf += 1
-            total = int(np.asarray(res.stereo_matches).sum())
-            if total > 0 and since_kf >= args.kf_gap:
-                kfs.append(keyframe_obs_from_state(
-                    eng.state, cfg, T.copy(),
-                    obs_outlier=np.asarray(res.obs_outlier), pose_vo=T.copy()))
-                kf_frame_idx.append(i)
-                eng.set_this_frame_as_kf()
-                since_kf = 0
-        vo_poses = np.stack(vo_poses)[1:]
+            coll.observe(i, res, T)
+        vo_poses = np.stack(vo_poses)
         ate_vo = float(ate_rmse(vo_poses, seq.poses))
-        n_kf = len(kfs)
+        n_kf = len(coll.kfs)
         print(f"seed {seed}: {n_kf} keyframes from {args.frames} frames, "
               f"VO ATE {ate_vo:.4f}", flush=True)
 
-        # ---- window problems (equal shapes for the stacked solve) --------
-        ranges = split_into_windows(n_kf, args.window, args.overlap)
-        if len(ranges[-1]) < args.window:
-            ranges[-1] = range(n_kf - args.window, n_kf)
-        probs, rels = [], []
-        for r in ranges:
-            win = SlidingWindow(args.window, 256, min_obs=2, cam=seq.cam)
-            for gi in r:
-                win.add_keyframe(kfs[gi])
-            prob, _ = win.build_problem(seq.cam)
-            probs.append(prob)
-            rels.append(win.rel_measurements())
-
-        # ---- one sharded solve for ALL windows ---------------------------
-        outs = window_sharded_bundle_adjust(
-            seq.cam, probs, mesh, max_iters=15, rel_meas=rels,
-            rel_w_rot=4.0e2, rel_w_trans=25.0)
-
-        # ---- stitch + per-frame trajectory correction --------------------
-        stitched = stitch_window_poses(
-            [np.asarray(o.poses) for o in outs], ranges, args.overlap, n_kf)
-        # propagate each KF's correction to the frames after it
-        refined = vo_poses.copy()
-        for k, fi in enumerate(kf_frame_idx):
-            G = stitched[k] @ np.linalg.inv(vo_poses[fi])
-            end = (kf_frame_idx[k + 1] if k + 1 < n_kf else len(refined))
-            for j in range(fi, end):
-                refined[j] = G @ vo_poses[j]
+        # ---- one sharded solve for ALL windows + stitch ------------------
+        refined = refine_trajectory(
+            seq.cam, coll.kfs, coll.kf_frame_idx, vo_poses,
+            window=args.window, overlap=args.overlap, mesh=mesh)
         ate_ref = float(ate_rmse(refined, seq.poses))
-        iters = [int(np.asarray(o.n_iters)) for o in outs]
+        n_windows = max(1, -(-(n_kf - args.overlap)
+                             // (args.window - args.overlap)))
         print(f"seed {seed}: refined ATE {ate_ref:.4f} "
-              f"({ate_vo / max(ate_ref, 1e-9):.2f}x), windows "
-              f"{len(probs)}, LM iters {iters}", flush=True)
+              f"({ate_vo / max(ate_ref, 1e-9):.2f}x)", flush=True)
         results.append({
             "seed": seed, "frames": args.frames, "keyframes": n_kf,
-            "windows": len(probs), "ate_vo_m": round(ate_vo, 4),
+            "windows": n_windows, "ate_vo_m": round(ate_vo, 4),
             "ate_refined_m": round(ate_ref, 4),
             "improvement": round(ate_vo / max(ate_ref, 1e-9), 3),
         })
