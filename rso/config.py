@@ -156,6 +156,24 @@ class LeastSquaresParams:
     # reference.
     use_lm: bool = False
     lm_init_lambda: float = 1e-3
+    # TPU extension: how the 6x6 normal system solves each GN iteration.
+    #   "eigh" — symmetric eigendecomposition + exact cond_2 guard +
+    #            pseudo-inverse thresholding (mirrors the reference's
+    #            JacobiSVD semantics, stage5_optimization.cpp:375-388).
+    #   "chol" — Cholesky solve + cond_1 guard (||H||_1 ||H^-1||_1, same
+    #            1e8 threshold; cond_1/cond_2 agree within a factor of 6 on
+    #            6x6).  Identical dx for the well-conditioned systems real
+    #            frames produce (H is PD there); near the abort threshold
+    #            borderline frames may flag one iteration earlier/later.
+    #            Measured on v5e: the eigh solve+guard costs 5.2 us of the
+    #            15.8 us GN iteration (tools/exp_eigh_cost.py); the step
+    #            A/B (tools/exp_chol_ab.py, 8 interleaved rounds) reads
+    #            -1.9% median step (0.948 -> 0.930 ms, 6/8 rounds negative).
+    #            Default "chol": same pose to ~1e-7 on real solves and the
+    #            same error code on degenerate input (equivalence pinned in
+    #            tests/test_solver.py::TestSolveBackends); set "eigh" for
+    #            the reference's exact cond_2 guard semantics.
+    solve_backend: str = "chol"
 
 
 @dataclass(frozen=True)

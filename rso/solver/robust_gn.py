@@ -107,20 +107,41 @@ def _eval_rgn(cam: StereoCamera, lmks, obs, mask, delta_pose, params: LeastSquar
         # Marquardt damping: lambda * diag(H) keeps the step scale-relative
         H = H + lm_lambda * jnp.diag(jnp.diagonal(H))
 
-    # Symmetric-eigendecomposition least-squares solve.  H is symmetric PSD,
-    # so eigh gives the same singular spectrum as the reference's JacobiSVD
-    # (:375-388) at a fraction of the cost on TPU; the condition-number guard
-    # is identical.
-    w, V = jnp.linalg.eigh(H)  # ascending
-    cond = w[5] / jnp.where(w[0] <= 0.0, jnp.nan, w[0])
-    if lm_lambda is not None:
-        # LM handles ill-conditioning via damping; abort only on NaN (which
-        # is also the reference's actual abort condition, :380-386)
-        bad_cond = ~jnp.isfinite(cond)
+    if params.solve_backend == "chol":
+        # Cholesky solve + cond_1 guard (LeastSquaresParams.solve_backend):
+        # identical dx on the PD systems real frames produce, ~5 us/iter
+        # cheaper than eigh on v5e (tools/exp_eigh_cost.py).  cond_1 =
+        # ||H||_1 ||H^-1||_1 (within 6x of cond_2 on 6x6) against the same
+        # threshold; an indefinite H surfaces as NaN in L and aborts.
+        L = jnp.linalg.cholesky(H)
+        eye6 = jnp.eye(6, dtype=H.dtype)
+        Hinv = jax.scipy.linalg.cho_solve((L, True), eye6)
+        dx = Hinv @ g
+        cond = (jnp.max(jnp.sum(jnp.abs(H), axis=0))
+                * jnp.max(jnp.sum(jnp.abs(Hinv), axis=0)))
+        if lm_lambda is not None:
+            bad_cond = ~jnp.isfinite(cond) | ~jnp.all(jnp.isfinite(dx))
+        else:
+            bad_cond = (~jnp.isfinite(cond) | ~jnp.all(jnp.isfinite(dx))
+                        | (cond > _COND_MAX))
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
     else:
-        bad_cond = ~jnp.isfinite(cond) | (cond > _COND_MAX)
-    w_inv = jnp.where(w > w[5] * 1e-9, 1.0 / jnp.where(w > 0, w, 1.0), 0.0)
-    dx = V @ (w_inv * (V.T @ g))
+        # Symmetric-eigendecomposition least-squares solve.  H is symmetric
+        # PSD, so eigh gives the same singular spectrum as the reference's
+        # JacobiSVD (:375-388) at a fraction of the cost on TPU; the
+        # condition-number guard is identical.
+        w, V = jnp.linalg.eigh(H)  # ascending
+        cond = w[5] / jnp.where(w[0] <= 0.0, jnp.nan, w[0])
+        if lm_lambda is not None:
+            # LM handles ill-conditioning via damping; abort only on NaN
+            # (which is also the reference's actual abort condition,
+            # :380-386)
+            bad_cond = ~jnp.isfinite(cond)
+        else:
+            bad_cond = ~jnp.isfinite(cond) | (cond > _COND_MAX)
+        w_inv = jnp.where(w > w[5] * 1e-9,
+                          1.0 / jnp.where(w > 0, w, 1.0), 0.0)
+        dx = V @ (w_inv * (V.T @ g))
 
     # masked-out slots report +inf residual (reference resizes out_residual to
     # double::max, :296) so the outlier cut removes them consistently.

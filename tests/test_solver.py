@@ -205,3 +205,56 @@ class TestLMMode:
         assert not bool(gn.valid)   # condition guard fires
         assert bool(lm.valid)       # damping keeps the solve alive
         assert float(jnp.max(jnp.abs(lm.pose[:3] - pose[:3]))) < 0.05
+
+
+class TestSolveBackends:
+    """solve_backend='chol' (shipped default) vs 'eigh' (reference JacobiSVD
+    semantics): identical pose on well-conditioned solves, same abort code
+    on degenerate input (LeastSquaresParams.solve_backend)."""
+
+    def _problem(self, rng):
+        from rso.geometry import project_stereo_with_jacobian
+        from rso.geometry.stereo_camera import StereoCamera
+
+        cam = StereoCamera.make(fx_l=500.0, fy_l=500.0, cx_l=320.0,
+                                cy_l=240.0, baseline=0.5)
+        N = 200
+        lmks = np.stack([rng.uniform(-8, 8, N), rng.uniform(-4, 4, N),
+                         rng.uniform(5, 30, N)], -1).astype(np.float32)
+        prev, _ = project_stereo_with_jacobian(cam, jnp.asarray(lmks),
+                                               jnp.zeros(6))
+        true = jnp.asarray([0.002, -0.004, 0.001, 0.03, -0.01, 0.25],
+                           jnp.float32)
+        cur, _ = project_stereo_with_jacobian(cam, jnp.asarray(lmks), true)
+        cur = cur + jnp.asarray(rng.normal(0, 0.3, cur.shape), jnp.float32)
+        cur = cur.at[:10].add(40.0)  # outliers
+        return cam, prev, cur, jnp.ones(N, bool)
+
+    def test_backends_agree_on_good_data(self, rng):
+        from rso.config import LeastSquaresParams
+        from rso.solver.robust_gn import solve_pose
+
+        cam, prev, cur, mask = self._problem(rng)
+        out = {be: solve_pose(cam, prev, cur, mask,
+                              LeastSquaresParams(solve_backend=be))
+               for be in ("eigh", "chol")}
+        assert bool(out["eigh"].valid) and bool(out["chol"].valid)
+        np.testing.assert_allclose(np.asarray(out["eigh"].pose),
+                                   np.asarray(out["chol"].pose), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(out["eigh"].inliers),
+                                      np.asarray(out["chol"].inliers))
+
+    def test_backends_agree_on_degenerate_data(self, rng):
+        from rso.config import LeastSquaresParams
+        from rso.solver.robust_gn import solve_pose
+
+        cam, prev, cur, mask = self._problem(rng)
+        garbage = cur * 0 + jnp.asarray(
+            rng.normal(0, 1e7, cur.shape), jnp.float32)
+        codes = []
+        for be in ("eigh", "chol"):
+            o = solve_pose(cam, prev, garbage, mask,
+                           LeastSquaresParams(solve_backend=be))
+            assert not bool(o.valid)
+            codes.append(int(o.error_code))
+        assert codes[0] == codes[1] == 2  # VOEC_BAD_COND_NUMBER

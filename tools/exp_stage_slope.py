@@ -70,7 +70,8 @@ def main():
         for o in range(O):
             m = match_left_right(fls[o], frs[o], cfg.lr_match, W >> o, 0.0,
                                  fx_baseline=float(cam.fx_l) * float(cam.baseline) / 2**o,
-                                 use_mxu=cfg.tpu.use_mxu_distance)
+                                 use_mxu=cfg.tpu.use_mxu_distance,
+                                 use_fused=cfg.tpu.use_fused_match)
             out = out + jnp.sum(m.dist)
         return out, None
 
@@ -88,12 +89,14 @@ def main():
             for o in range(O):
                 m = match_left_right(fls[o], frs[o], cfg.lr_match, W >> o, 0.0,
                                      fx_baseline=float(cam.fx_l) * float(cam.baseline) / 2**o,
-                                     use_mxu=cfg.tpu.use_mxu_distance)
+                                     use_mxu=cfg.tpu.use_mxu_distance,
+                                 use_fused=cfg.tpu.use_fused_match)
                 cur.append((fls[o], frs[o], m))
                 pfl, pfr, pm = prev[o]
                 trk = track_interframe(pfl, pfr, pm, fls[o], frs[o], m, ifm,
                                        jax.random.PRNGKey(0),
-                                       use_mxu=cfg.tpu.use_mxu_distance)
+                                       use_mxu=cfg.tpu.use_mxu_distance,
+                                 use_fused=cfg.tpu.use_fused_match)
                 out = out + trk.n_tracked.astype(jnp.float32)
             return (out, tuple(cur)), None
         # initial prev from one eval
@@ -104,7 +107,8 @@ def main():
             for o in range(O):
                 m = match_left_right(fls[o], frs[o], cfg.lr_match, W >> o, 0.0,
                                      fx_baseline=float(cam.fx_l) * float(cam.baseline) / 2**o,
-                                     use_mxu=cfg.tpu.use_mxu_distance)
+                                     use_mxu=cfg.tpu.use_mxu_distance,
+                                 use_fused=cfg.tpu.use_fused_match)
                 cur.append((fls[o], frs[o], m))
             return tuple(cur)
         return f, init_prev
