@@ -40,6 +40,18 @@ def build_parser():
                    help="start paused; interactive keys on a TTY: "
                         "p=pause/resume, s=single-step, q=quit "
                         "(reference demo-main.cpp:256-284)")
+    p.add_argument("--live", type=int, nargs="?", const=0, default=None,
+                   metavar="PORT",
+                   help="serve a live 3D trajectory/overlay view on "
+                        "http://127.0.0.1:PORT (0 or no value = pick a free "
+                        "port).  Browser buttons pause/step/quit the run — "
+                        "the live-GUI contract of the reference's second "
+                        "thread (gui_thread.cpp:76-325) on a headless TPU "
+                        "host")
+    p.add_argument("--live-overlay", type=int, default=10, metavar="N",
+                   help="with --live: publish a feature/pairing overlay "
+                        "image every N frames (0 = never; pulls octave-0 "
+                        "features to the host, off the device hot path)")
     p.add_argument("--profile", action="store_true", help="print span profile at exit")
     p.add_argument("--chunk", type=int, default=0, metavar="N",
                    help="offline fast path: scan N frames per device dispatch "
@@ -70,12 +82,25 @@ class _KeyControl:
     TTY (CI, piped runs) or on platforms without select-able stdin.
     """
 
-    def __init__(self, start_paused: bool = False):
+    def __init__(self, start_paused: bool = False, remote=None):
         self.paused = start_paused
+        self.remote = remote  # rso.metrics.live_view.RemoteControl or None
         try:
             self.tty = sys.stdin is not None and sys.stdin.isatty()
         except (ValueError, OSError):
             self.tty = False
+
+    def _next_cmd(self, timeout: float = 0.0):
+        """One pending command from the browser (preferred) or the TTY."""
+        if self.remote is not None:
+            c = self.remote.pop()
+            if c:
+                return c
+        if self.tty:
+            return self._poll_key(timeout)
+        if timeout:
+            time.sleep(min(timeout, 0.25))
+        return None
 
     def _poll_key(self, timeout: float = 0.0):
         import select
@@ -95,10 +120,10 @@ class _KeyControl:
         return None
 
     def wait_if_paused(self) -> bool:
-        """Process pending keys; block while paused.  False => quit."""
-        if not self.tty:
+        """Process pending commands; block while paused.  False => quit."""
+        if not self.tty and self.remote is None:
             return True
-        k = self._poll_key(0.0)
+        k = self._next_cmd(0.0)
         while True:
             if k == "q":
                 return False
@@ -110,7 +135,7 @@ class _KeyControl:
                 return True  # single-step: run one frame, stay paused
             if not self.paused:
                 return True
-            k = self._poll_key(0.25)
+            k = self._next_cmd(0.25)
 
 
 def main(argv=None):
@@ -207,7 +232,18 @@ def main(argv=None):
 
         collector = KeyframeCollector(eng, cfg)
 
-    keys = _KeyControl(start_paused=args.pause)
+    viewer = remote = None
+    if args.live is not None:
+        from rso.metrics.live_view import LiveViewer, RemoteControl
+
+        remote = RemoteControl()
+        viewer = LiveViewer(args.live, control=remote)
+        print(f"[rso] live view: http://127.0.0.1:{viewer.start()}/",
+              file=sys.stderr)
+        if gt is not None:
+            viewer.set_ground_truth(np.asarray(gt))
+
+    keys = _KeyControl(start_paused=args.pause, remote=remote)
     T = np.eye(4)
     poses = [T.copy()]
     times = [0.0]
@@ -248,6 +284,10 @@ def main(argv=None):
                 poses.append(T.copy())
                 times.append(buf_ts[k])
                 n_frames += 1
+                if viewer is not None:
+                    viewer.publish(n_frames - 1, T, bool(val[k]),
+                                   {"fps": round(n_frames / max(
+                                       time.time() - t_start, 1e-9), 1)})
             logger.log(1, f"[rso] chunk of {len(buf_l)}: "
                           f"{int(val.sum())}/{len(buf_l)} valid, "
                           f"pos={T[:3, 3].round(3).tolist()}")
@@ -287,6 +327,19 @@ def main(argv=None):
         poses.append(T.copy())
         times.append(ts)
         n_frames += 1
+        if viewer is not None:
+            cnt = {"fps": round(n_frames / max(time.time() - t_start,
+                                               1e-9), 1)}
+            if ba is None:
+                cnt["tracked"] = int(res.tracked_feats_from_last_frame)
+                cnt["err"] = error_name(res.error_code)
+            canvas = None
+            if (args.live_overlay and n_frames % args.live_overlay == 0
+                    and eng.state is not None):
+                from rso.metrics.live_view import overlay_from_state
+
+                canvas = overlay_from_state(left, right, eng.state)
+            viewer.publish(n_frames - 1, T, bool(valid), cnt, canvas)
         if collector is not None:
             collector.observe(n_frames - 1, res, T)
         if ba is not None:
@@ -344,6 +397,8 @@ def main(argv=None):
         save_state(args.save_state, eng.state)
         print(f"[rso] saved engine state -> {args.save_state}")
 
+    if viewer is not None:
+        viewer.stop()
     if args.profile:
         prof.report()
     return 0
