@@ -1,0 +1,185 @@
+"""rso-fleet: run MANY sequences concurrently over the device mesh.
+
+The data-parallel sweep surface (SURVEY.md section 2.5 DP row): within a
+sequence frame t depends on t-1, so parallelism happens ACROSS sequences —
+one jitted scan-of-vmapped-step program processes a [B,N,H,W] chunk with the
+sequence axis sharded over the local mesh (rso.parallel.BatchEngine).  An
+offline benchmark sweep (e.g. KITTI 00-10) becomes one program over all
+local chips instead of B serial demo runs; the reference has no analogue
+(demo-main.cpp runs exactly one stream).
+
+Sources: repeated --kitti/--img-dir sequence dirs (all must share image size
+and calibration — the step program closes over the camera statically), or
+--synthetic B for B differently-seeded synthetic sequences.  Emits one
+KITTI-format trajectory per sequence, a per-sequence ATE line when ground
+truth is available, and one JSON summary line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("rso-fleet", description=__doc__)
+    p.add_argument("--kitti", action="append", default=[], metavar="SEQ_DIR",
+                   help="KITTI odometry sequence dir (repeatable)")
+    p.add_argument("--img-dir", action="append", default=[], metavar="DIR",
+                   help="generic left_*/right_* dir (repeatable; needs --cam)")
+    p.add_argument("--cam", help="camera calibration INI for --img-dir")
+    p.add_argument("--synthetic", type=int, default=0, metavar="B",
+                   help="run B synthetic blob sequences with seeds 0..B-1")
+    p.add_argument("--frames", type=int, default=0,
+                   help="frames per sequence (0 = shortest sequence length)")
+    p.add_argument("--chunk", type=int, default=64, metavar="N",
+                   help="frames per device dispatch (scan length)")
+    p.add_argument("--config", help="INI config (reference section/key names)")
+    p.add_argument("--out-dir", default="fleet_out",
+                   help="trajectories land here as seq_<i>.txt")
+    p.add_argument("--coast", action="store_true",
+                   help="bridge invalid frames with the last valid motion")
+    return p
+
+
+def _load_sequences(args):
+    """-> (cam, gt list, frame iterators as materialized path lists)."""
+    if args.synthetic:
+        from rso.synthetic import make_sequence, synthetic_config
+
+        seqs = [make_sequence(n_frames=args.frames or 30, n_points=2000,
+                              seed=s) for s in range(args.synthetic)]
+        cam = seqs[0].cam
+        arrays = [[(l, r) for l, r in s.frames] for s in seqs]
+        gts = [s.poses for s in seqs]
+        cfg0 = synthetic_config()
+        return cfg0, cam, arrays, gts, ["synthetic_%d" % i
+                                        for i in range(args.synthetic)]
+
+    from rso.config import RSOConfig
+    from rso.io import datasets
+
+    dss, names = [], []
+    for d in args.kitti:
+        dss.append(datasets.load_kitti(d))
+        names.append(d.rstrip("/").rsplit("/", 1)[-1])
+    for d in args.img_dir:
+        from rso.io.calib import load_mrpt_ini_calib
+
+        if not args.cam:
+            raise SystemExit("--img-dir requires --cam")
+        dss.append(datasets.load_image_dir(d, load_mrpt_ini_calib(args.cam)))
+        names.append(d.rstrip("/").rsplit("/", 1)[-1])
+    if not dss:
+        raise SystemExit("no sequences given (--kitti/--img-dir/--synthetic)")
+
+    cam0 = dss[0].cam
+    for i, ds in enumerate(dss[1:], 1):
+        if not all(np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(cam0, ds.cam)):
+            raise SystemExit(
+                f"sequence {names[i]} has different calibration than "
+                f"{names[0]}: the fleet step compiles one camera; run "
+                "mismatched rigs in separate fleets")
+    n = min(len(ds) for ds in dss)
+    if args.frames:
+        n = min(n, args.frames)
+    arrays = []
+    for ds in dss:
+        it = ds.prefetch()
+        frames = []
+        for f in it:
+            if f.index >= n:
+                break
+            frames.append((f.left, f.right))
+        arrays.append(frames)
+    gts = [ds.gt_poses for ds in dss]
+    return RSOConfig(), cam0, arrays, gts, names
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from rso.config import load_config
+    from rso.geometry import pose_matrix
+    from rso.metrics.ate import ate_rmse
+    from rso.parallel import BatchEngine
+
+    cfg, cam, arrays, gts, names = _load_sequences(args)
+    if args.config:
+        cfg = load_config(args.config, base=cfg)
+
+    B = len(arrays)
+    n = min(len(a) for a in arrays)
+    H, W = arrays[0][0][0].shape[:2]
+    for i, a in enumerate(arrays):
+        if a[0][0].shape[:2] != (H, W):
+            raise SystemExit(f"sequence {names[i]} is {a[0][0].shape[:2]}, "
+                             f"fleet is {H}x{W}: image sizes must match")
+
+    be = BatchEngine(cfg, cam, batch=B, img_h=H, img_w=W)
+    print(f"[rso-fleet] {B} sequences x {n} frames at {W}x{H} over "
+          f"{be.mesh.devices.size} device(s)", file=sys.stderr)
+
+    import jax
+
+    Ts = [np.eye(4) for _ in range(B)]
+    trajs = [[np.eye(4)] for _ in range(B)]
+    last_delta = [None] * B
+    n_valid = 0
+    t0 = time.time()
+    done = 0
+    while done < n:
+        m = min(args.chunk, n - done)
+        lefts = np.stack([np.stack([a[done + t][0] for t in range(m)])
+                          for a in arrays])
+        rights = np.stack([np.stack([a[done + t][1] for t in range(m)])
+                           for a in arrays])
+        res = be.process_chunk(lefts, rights)  # [m,B,...]
+        rel = np.asarray(jax.vmap(jax.vmap(pose_matrix))(res.pose))
+        val = np.asarray(res.valid)
+        for t in range(m):
+            for i in range(B):
+                if val[t, i]:
+                    last_delta[i] = rel[t, i]
+                    Ts[i] = Ts[i] @ rel[t, i]
+                    n_valid += 1
+                elif args.coast and last_delta[i] is not None:
+                    Ts[i] = Ts[i] @ last_delta[i]
+                trajs[i].append(Ts[i].copy())
+        done += m
+    wall = time.time() - t0
+
+    import os
+
+    from rso.io.trajectory import write_kitti
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    ates = []
+    for i in range(B):
+        poses = np.stack(trajs[i])
+        out = os.path.join(args.out_dir, f"seq_{names[i]}.txt")
+        write_kitti(out, poses)
+        a = None
+        if gts[i] is not None:
+            k = min(len(poses), len(gts[i]))
+            a = float(ate_rmse(poses[:k], np.asarray(gts[i])[:k]))
+            print(f"[rso-fleet] {names[i]}: ATE RMSE {a:.4f} m -> {out}",
+                  file=sys.stderr)
+        ates.append(a)
+
+    summary = {"sequences": B, "frames_per_seq": n,
+               "total_frames": B * n, "wall_s": round(wall, 3),
+               "frames_per_sec": round(B * n / max(wall, 1e-9), 2),
+               "valid_frac": round(n_valid / max(B * n, 1), 4),
+               "mesh_devices": int(be.mesh.devices.size),
+               "ate_rmse_m": ates}
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,7 +33,9 @@ class BatchEngine:
         self.cfg = cfg
         self._shard = NamedSharding(mesh, P("seq"))
         step = make_step(cfg, cam, img_h, img_w)
+        self._raw_step = step
         self._step = jax.jit(jax.vmap(step))
+        self._chunk = None
         st = init_state(cfg)
         self.states = jax.device_put(
             jax.tree_util.tree_map(
@@ -45,4 +47,27 @@ class BatchEngine:
         lefts = jax.device_put(jnp.asarray(lefts), self._shard)
         rights = jax.device_put(jnp.asarray(rights), self._shard)
         self.states, results = self._step(self.states, lefts, rights)
+        return results
+
+    def process_chunk(self, lefts: np.ndarray, rights: np.ndarray):
+        """lefts/rights: [B,N,H,W] u8 — N frames of each sequence in ONE
+        device dispatch: lax.scan over frames of the vmapped step (the
+        sequences-sharded analogue of Engine.process_chunk).  Sequence
+        state stays resident/sharded across the whole chunk; results come
+        back stacked [N,B,...] along the frame axis.
+        """
+        lefts = jax.device_put(jnp.asarray(lefts), self._shard)
+        rights = jax.device_put(jnp.asarray(rights), self._shard)
+        if self._chunk is None:
+            step = self._raw_step
+
+            def chunk(states, ls, rs):
+                # scan wants the frame axis leading: [B,N,H,W] -> [N,B,H,W]
+                return jax.lax.scan(
+                    lambda s, lr: jax.vmap(step)(s, lr[0], lr[1]),
+                    states,
+                    (jnp.swapaxes(ls, 0, 1), jnp.swapaxes(rs, 0, 1)))
+
+            self._chunk = jax.jit(chunk)
+        self.states, results = self._chunk(self.states, lefts, rights)
         return results

@@ -33,6 +33,31 @@ class TestBatchEngine:
             np.testing.assert_allclose(np.asarray(res_b.pose[i]),
                                        np.asarray(res_1.pose), atol=1e-5)
 
+    def test_chunk_matches_per_frame(self):
+        """process_chunk (scan of the vmapped step, one dispatch) must
+        evolve every lane exactly like per-frame process_frames calls."""
+        seqs = [make_sequence(n_frames=5, n_points=1200, H=120, W=160, seed=s)
+                for s in range(2)]
+        cfg = synthetic_config()
+
+        be_f = BatchEngine(cfg, seqs[0].cam, batch=2, img_h=120, img_w=160)
+        per_frame = [be_f.process_frames(
+            np.stack([s.frames[t][0] for s in seqs]),
+            np.stack([s.frames[t][1] for s in seqs])) for t in range(5)]
+
+        be_c = BatchEngine(cfg, seqs[0].cam, batch=2, img_h=120, img_w=160)
+        res = be_c.process_chunk(
+            np.stack([np.stack([l for l, _ in s.frames]) for s in seqs]),
+            np.stack([np.stack([r for _, r in s.frames]) for s in seqs]))
+
+        assert res.pose.shape == (5, 2, 6)
+        for t in range(5):
+            np.testing.assert_array_equal(np.asarray(res.valid[t]),
+                                          np.asarray(per_frame[t].valid))
+            np.testing.assert_allclose(np.asarray(res.pose[t]),
+                                       np.asarray(per_frame[t].pose),
+                                       atol=1e-5)
+
     def test_mesh_sharding(self):
         assert len(jax.devices()) >= 8
         cfg = synthetic_config()
@@ -52,3 +77,27 @@ class TestPresetConfigs:
         assert cfg.general.vo_use_matches_ids is True
         assert cfg.lr_match.max_y_diff > 0
         assert isinstance(hash(cfg), int)
+
+
+class TestFleetCLI:
+    def test_synthetic_fleet_end_to_end(self, tmp_path, capsys):
+        """rso-fleet over 2 synthetic sequences: per-sequence trajectories,
+        ATE lines, and a parseable JSON summary."""
+        import json
+
+        from rso.cli.fleet import main
+
+        rc = main(["--synthetic", "2", "--frames", "6", "--chunk", "4",
+                   "--out-dir", str(tmp_path), "--coast"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        summary = json.loads(out[-1])
+        assert summary["sequences"] == 2
+        assert summary["frames_per_seq"] == 6
+        assert summary["valid_frac"] > 0.5
+        assert len(summary["ate_rmse_m"]) == 2
+        assert all(a is not None and a < 1.0 for a in summary["ate_rmse_m"])
+        for i in range(2):
+            f = tmp_path / f"seq_synthetic_{i}.txt"
+            assert f.exists()
+            assert len(f.read_text().strip().splitlines()) == 7  # id + 6
