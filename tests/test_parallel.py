@@ -101,3 +101,37 @@ class TestFleetCLI:
             f = tmp_path / f"seq_synthetic_{i}.txt"
             assert f.exists()
             assert len(f.read_text().strip().splitlines()) == 7  # id + 6
+
+    def test_no_sources_is_an_error(self):
+        import pytest as _pytest
+
+        from rso.cli.fleet import main
+
+        with _pytest.raises(SystemExit):
+            main(["--frames", "4"])
+
+    def test_image_size_mismatch_is_an_error(self, tmp_path):
+        """Two real-layout image dirs with different sizes must be refused
+        (the fleet step compiles one [H,W])."""
+        import cv2
+        import pytest as _pytest
+
+        from rso.cli.fleet import main
+
+        cam_ini = tmp_path / "cam.ini"
+        cam_ini.write_text(
+            "[CAMERA_PARAMS]\nresolution=[64 48]\nfx=60\nfy=60\n"
+            "cx=32\ncy=24\nbaseline=0.12\n")
+        rng = np.random.default_rng(0)
+        for name, (h, w) in (("a", (48, 64)), ("b", (56, 72))):
+            d = tmp_path / name
+            d.mkdir()
+            for t in range(2):
+                for side in ("left", "right"):
+                    cv2.imwrite(str(d / f"{side}_{t:04d}.png"),
+                                rng.integers(0, 255, (h, w), np.uint8))
+        with _pytest.raises(SystemExit, match="must match|different"):
+            main(["--img-dir", str(tmp_path / "a"),
+                  "--img-dir", str(tmp_path / "b"),
+                  "--cam", str(cam_ini), "--frames", "2",
+                  "--out-dir", str(tmp_path / "out")])
