@@ -52,6 +52,14 @@ def build_parser():
                    help="with --live: publish a feature/pairing overlay "
                         "image every N frames (0 = never; pulls octave-0 "
                         "features to the host, off the device hot path)")
+    p.add_argument("--watch", action="store_true",
+                   help="with --img-dir: LIVE streaming mode — process new "
+                        "left_*/right_* pairs as they appear (the headless "
+                        "analogue of the reference's live camera input, "
+                        "demo-main.cpp:210-239); ends after --watch-idle "
+                        "seconds with no new pair")
+    p.add_argument("--watch-idle", type=float, default=10.0, metavar="S",
+                   help="--watch stream-over timeout (default 10 s)")
     p.add_argument("--profile", action="store_true", help="print span profile at exit")
     p.add_argument("--chunk", type=int, default=0, metavar="N",
                    help="offline fast path: scan N frames per device dispatch "
@@ -159,6 +167,21 @@ def main(argv=None):
         frames = [(l, r, 0.1 * i) for i, (l, r) in enumerate(seq.frames)]
         gt = seq.poses
         cfg = synthetic_config()
+    elif args.watch:
+        if not args.img_dir or not args.cam:
+            print("--watch needs --img-dir and --cam", file=sys.stderr)
+            return 2
+        import itertools
+
+        from rso.io.calib import load_mrpt_ini_calib
+        from rso.io.datasets import watch_image_dir
+
+        cam = load_mrpt_ini_calib(args.cam)
+        gen = ((f.left, f.right, f.timestamp)
+               for f in watch_image_dir(args.img_dir,
+                                        idle_timeout_s=args.watch_idle))
+        frames = itertools.islice(gen, args.frames) if args.frames else gen
+        cfg = RSOConfig()
     else:
         from rso.io import datasets
 

@@ -13,6 +13,7 @@ import os
 import glob as globmod
 import queue
 import threading
+import time
 from typing import Iterator, NamedTuple
 
 import numpy as np
@@ -183,3 +184,49 @@ def load_image_dir(dir_path: str, cam: StereoCamera,
     rp = sorted(globmod.glob(os.path.join(dir_path, right_glob)))
     n = min(len(lp), len(rp))
     return StereoDataset(lp[:n], rp[:n], np.arange(n) * 0.1, cam)
+
+
+def watch_image_dir(dir_path: str,
+                    left_glob: str = "left_*.png",
+                    right_glob: str = "right_*.png",
+                    poll_s: float = 0.2,
+                    idle_timeout_s: float = 10.0,
+                    _time=time):
+    """Live streaming source: yield stereo pairs AS THEY APPEAR in a
+    directory — the headless substitute for the reference's live camera
+    input (demo-main.cpp:210-239 pulls CObservationStereoImages from an
+    MRPT camera/rawlog stream until the stream ends; here the camera
+    driver is whatever process drops `left_NNN.png`/`right_NNN.png` files).
+
+    Pairs are matched by sorted filename order; a left image is only
+    yielded once its right partner exists.  A file that appears but is
+    still being written would decode short — each image is read only after
+    its size is stable across one poll interval.  The generator ends after
+    `idle_timeout_s` with no new complete pair (stream over).
+    """
+    served = 0
+    last_new = _time.monotonic()
+    sizes: dict = {}
+    while True:
+        lp = sorted(globmod.glob(os.path.join(dir_path, left_glob)))
+        rp = sorted(globmod.glob(os.path.join(dir_path, right_glob)))
+        n = min(len(lp), len(rp))
+        progressed = False
+        while served < n:
+            l_path, r_path = lp[served], rp[served]
+            try:
+                sz = (os.path.getsize(l_path), os.path.getsize(r_path))
+            except OSError:
+                break  # racing the writer; retry next poll
+            if sizes.get(served) != sz:
+                sizes[served] = sz  # first sighting or still growing:
+                break               # require one stable-size poll
+            yield StereoFrame(_imread_gray(l_path), _imread_gray(r_path),
+                              timestamp=served * 0.1, index=served)
+            served += 1
+            progressed = True
+        if progressed:
+            last_new = _time.monotonic()
+        elif _time.monotonic() - last_new > idle_timeout_s:
+            return
+        _time.sleep(poll_s)
