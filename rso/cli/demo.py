@@ -52,6 +52,13 @@ def build_parser():
                    help="with --live: publish a feature/pairing overlay "
                         "image every N frames (0 = never; pulls octave-0 "
                         "features to the host, off the device hot path)")
+    p.add_argument("--cam-pose", metavar="'X Y Z YAW PITCH ROLL'",
+                   help="camera pose on the robot (metres, degrees, MRPT "
+                        "CPose3D convention): the output trajectory becomes "
+                        "the ROBOT path via E*delta*inv(E) composition "
+                        "(reference demo-main.cpp:228-243; same as the INI "
+                        "GENERAL/camera_pose_on_robot key, which this flag "
+                        "overrides)")
     p.add_argument("--watch", action="store_true",
                    help="with --img-dir: LIVE streaming mode — process new "
                         "left_*/right_* pairs as they appear (the headless "
@@ -80,6 +87,49 @@ def build_parser():
     p.add_argument("--ba-distributed", action="store_true",
                    help="shard BA landmarks over all local devices")
     return p
+
+
+def _pose_on_robot(v) -> np.ndarray:
+    """[x y z yaw° pitch° roll°] -> 4x4 homogeneous (MRPT CPose3D:
+    R = Rz(yaw) @ Ry(pitch) @ Rx(roll), angles in degrees — the
+    camera_pose_on_robot convention of demo-main.cpp:178-180)."""
+    x, y, z, yaw, pitch, roll = [float(a) for a in v]
+    cy, sy = np.cos(np.deg2rad(yaw)), np.sin(np.deg2rad(yaw))
+    cp, sp = np.cos(np.deg2rad(pitch)), np.sin(np.deg2rad(pitch))
+    cr, sr = np.cos(np.deg2rad(roll)), np.sin(np.deg2rad(roll))
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+    Ry = np.array([[cp, 0, sp], [0, 1.0, 0], [-sp, 0, cp]])
+    Rx = np.array([[1.0, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    E = np.eye(4)
+    E[:3, :3] = Rz @ Ry @ Rx
+    E[:3, 3] = [x, y, z]
+    return E
+
+
+def _cam_pose_from_args(args) -> np.ndarray | None:
+    """--cam-pose flag, else the config INI's GENERAL/camera_pose_on_robot
+    (the key the reference app INI carries); None when absent/zero."""
+    v = None
+    if args.cam_pose:
+        v = [float(a) for a in args.cam_pose.split()]
+    elif args.config:
+        import configparser
+
+        p = configparser.ConfigParser(inline_comment_prefixes=("//", ";", "#"))
+        p.optionxform = str
+        p.read(args.config)
+        raw = p.get("GENERAL", "camera_pose_on_robot", fallback=None)
+        if raw:
+            v = [float(a) for a in
+                 raw.replace("[", " ").replace("]", " ").split()]
+    if v is None:
+        return None
+    if len(v) != 6:
+        raise SystemExit("--cam-pose/camera_pose_on_robot needs 6 values: "
+                         "x y z yaw pitch roll")
+    if not any(v):
+        return None  # identity extrinsic: skip the per-pose conjugation
+    return _pose_on_robot(v)
 
 
 class _KeyControl:
@@ -217,6 +267,11 @@ def main(argv=None):
 
     if args.config:
         cfg = load_config(args.config, base=cfg)
+    try:
+        cam_on_robot = _cam_pose_from_args(args)
+    except ValueError:
+        print("[rso] bad --cam-pose (need 6 numbers)", file=sys.stderr)
+        return 2
 
     logger = VOLogger(args.verbosity)
     prof = SpanProfiler(args.profile)
@@ -395,9 +450,20 @@ def main(argv=None):
         poses = np.concatenate([poses[:1], refined])
     from rso.io.trajectory import write_kitti, write_tum
 
-    write_kitti(args.out, poses)
+    # camera-on-robot extrinsic: conjugation distributes over composition,
+    # so E @ T_t @ inv(E) of the composed pose equals the reference's
+    # per-frame pose = pose * (E * delta * inv(E)) chain exactly
+    # (demo-main.cpp:235-240).  Files get the robot path; ATE/viz stay in
+    # the camera frame (ground truth is camera-frame).
+    out_poses = poses
+    if cam_on_robot is not None:
+        out_poses = np.einsum("ij,njk,kl->nil", cam_on_robot, poses,
+                              np.linalg.inv(cam_on_robot))
+        print("[rso] trajectory written in ROBOT frame "
+              "(camera_pose_on_robot applied)", file=sys.stderr)
+    write_kitti(args.out, out_poses)
     if args.tum:
-        write_tum(args.tum, poses, np.asarray(times))
+        write_tum(args.tum, out_poses, np.asarray(times))
     print(f"[rso] {n_frames} frames in {wall:.2f}s "
           f"({n_frames / max(wall, 1e-9):.2f} FPS) -> {args.out}")
 
