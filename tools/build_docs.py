@@ -19,6 +19,7 @@ PAGES = [
     ("architecture", "docs/ARCHITECTURE.md", "Architecture"),
     ("modes", "docs/MODES.md", "Mode matrix & envelopes"),
     ("perf", "docs/PERF.md", "Performance architecture"),
+    ("gui", "docs/GUI.md", "GUI & live view"),
     ("marginalization", "docs/MARGINALIZATION.md", "Marginalization study"),
     ("flow-fault", "docs/FLOW_SCAN_FAULT.md", "Flow-mode scan fault"),
     ("baseline", "BASELINE.md", "Performance baseline"),
