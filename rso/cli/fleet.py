@@ -46,18 +46,22 @@ def build_parser():
 
 
 def _load_sequences(args):
-    """-> (cam, gt list, frame iterators as materialized path lists)."""
+    """-> (cfg, cam, n_frames, per-sequence frame ITERATORS, gts, names).
+
+    Frames stream chunk-by-chunk through the iterators (dataset sources use
+    the background prefetch ring) — a B-sequence KITTI sweep never holds
+    more than B x chunk frames on the host.
+    """
     if args.synthetic:
         from rso.synthetic import make_sequence, synthetic_config
 
         seqs = [make_sequence(n_frames=args.frames or 30, n_points=2000,
                               seed=s) for s in range(args.synthetic)]
-        cam = seqs[0].cam
-        arrays = [[(l, r) for l, r in s.frames] for s in seqs]
+        n = min(len(s.frames) for s in seqs)
+        its = [iter(s.frames) for s in seqs]
         gts = [s.poses for s in seqs]
-        cfg0 = synthetic_config()
-        return cfg0, cam, arrays, gts, ["synthetic_%d" % i
-                                        for i in range(args.synthetic)]
+        return (synthetic_config(), seqs[0].cam, n, its, gts,
+                ["synthetic_%d" % i for i in range(args.synthetic)])
 
     from rso.config import RSOConfig
     from rso.io import datasets
@@ -87,17 +91,9 @@ def _load_sequences(args):
     n = min(len(ds) for ds in dss)
     if args.frames:
         n = min(n, args.frames)
-    arrays = []
-    for ds in dss:
-        it = ds.prefetch()
-        frames = []
-        for f in it:
-            if f.index >= n:
-                break
-            frames.append((f.left, f.right))
-        arrays.append(frames)
+    its = [((f.left, f.right) for f in ds.prefetch()) for ds in dss]
     gts = [ds.gt_poses for ds in dss]
-    return RSOConfig(), cam0, arrays, gts, names
+    return RSOConfig(), cam0, n, its, gts, names
 
 
 def main(argv=None):
@@ -108,23 +104,31 @@ def main(argv=None):
     from rso.metrics.ate import ate_rmse
     from rso.parallel import BatchEngine
 
-    cfg, cam, arrays, gts, names = _load_sequences(args)
+    cfg, cam, n, its, gts, names = _load_sequences(args)
     if args.config:
         cfg = load_config(args.config, base=cfg)
 
-    B = len(arrays)
-    n = min(len(a) for a in arrays)
-    H, W = arrays[0][0][0].shape[:2]
-    for i, a in enumerate(arrays):
-        if a[0][0].shape[:2] != (H, W):
-            raise SystemExit(f"sequence {names[i]} is {a[0][0].shape[:2]}, "
+    B = len(its)
+    firsts = [next(it) for it in its]  # peek one frame for the image size
+    H, W = firsts[0][0].shape[:2]
+    for i, f in enumerate(firsts):
+        if f[0].shape[:2] != (H, W):
+            raise SystemExit(f"sequence {names[i]} is {f[0].shape[:2]}, "
                              f"fleet is {H}x{W}: image sizes must match")
+    pending = [[f] for f in firsts]  # peeked frames re-enter the stream
 
     be = BatchEngine(cfg, cam, batch=B, img_h=H, img_w=W)
     print(f"[rso-fleet] {B} sequences x {n} frames at {W}x{H} over "
           f"{be.mesh.devices.size} device(s)", file=sys.stderr)
 
     import jax
+
+    def pull(i, m):
+        out = pending[i][:m]
+        del pending[i][:m]
+        while len(out) < m:
+            out.append(next(its[i]))
+        return out
 
     Ts = [np.eye(4) for _ in range(B)]
     trajs = [[np.eye(4)] for _ in range(B)]
@@ -134,10 +138,9 @@ def main(argv=None):
     done = 0
     while done < n:
         m = min(args.chunk, n - done)
-        lefts = np.stack([np.stack([a[done + t][0] for t in range(m)])
-                          for a in arrays])
-        rights = np.stack([np.stack([a[done + t][1] for t in range(m)])
-                           for a in arrays])
+        batch = [pull(i, m) for i in range(B)]
+        lefts = np.stack([np.stack([f[0] for f in b]) for b in batch])
+        rights = np.stack([np.stack([f[1] for f in b]) for b in batch])
         res = be.process_chunk(lefts, rights)  # [m,B,...]
         rel = np.asarray(jax.vmap(jax.vmap(pose_matrix))(res.pose))
         val = np.asarray(res.valid)
