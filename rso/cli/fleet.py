@@ -8,9 +8,10 @@ offline benchmark sweep (e.g. KITTI 00-10) becomes one program over all
 local chips instead of B serial demo runs; the reference has no analogue
 (demo-main.cpp runs exactly one stream).
 
-Sources: repeated --kitti/--img-dir sequence dirs (all must share image size
-and calibration — the step program closes over the camera statically), or
---synthetic B for B differently-seeded synthetic sequences.  Emits one
+Sources: repeated --kitti/--euroc/--malaga/--img-dir sequence dirs (all must
+share image size, calibration, and rectification maps — the step program
+closes over the camera statically), or --synthetic B for B differently-
+seeded synthetic sequences.  Emits one
 KITTI-format trajectory per sequence, a per-sequence ATE line when ground
 truth is available, and one JSON summary line.
 """
@@ -28,6 +29,11 @@ def build_parser():
     p = argparse.ArgumentParser("rso-fleet", description=__doc__)
     p.add_argument("--kitti", action="append", default=[], metavar="SEQ_DIR",
                    help="KITTI odometry sequence dir (repeatable)")
+    p.add_argument("--euroc", action="append", default=[], metavar="SEQ_DIR",
+                   help="EuRoC MAV sequence dir (repeatable; on-device "
+                        "undistort/rectify like rso-demo)")
+    p.add_argument("--malaga", action="append", default=[], metavar="DIR",
+                   help="Malaga Urban image dir (repeatable)")
     p.add_argument("--img-dir", action="append", default=[], metavar="DIR",
                    help="generic left_*/right_* dir (repeatable; needs --cam)")
     p.add_argument("--cam", help="camera calibration INI for --img-dir")
@@ -61,7 +67,7 @@ def _load_sequences(args):
         its = [iter(s.frames) for s in seqs]
         gts = [s.poses for s in seqs]
         return (synthetic_config(), seqs[0].cam, n, its, gts,
-                ["synthetic_%d" % i for i in range(args.synthetic)])
+                ["synthetic_%d" % i for i in range(args.synthetic)], None)
 
     from rso.config import RSOConfig
     from rso.io import datasets
@@ -69,6 +75,12 @@ def _load_sequences(args):
     dss, names = [], []
     for d in args.kitti:
         dss.append(datasets.load_kitti(d))
+        names.append(d.rstrip("/").rsplit("/", 1)[-1])
+    for d in args.euroc:
+        dss.append(datasets.load_euroc(d))
+        names.append(d.rstrip("/").rsplit("/", 1)[-1])
+    for d in args.malaga:
+        dss.append(datasets.load_malaga(d))
         names.append(d.rstrip("/").rsplit("/", 1)[-1])
     for d in args.img_dir:
         from rso.io.calib import load_mrpt_ini_calib
@@ -78,7 +90,8 @@ def _load_sequences(args):
         dss.append(datasets.load_image_dir(d, load_mrpt_ini_calib(args.cam)))
         names.append(d.rstrip("/").rsplit("/", 1)[-1])
     if not dss:
-        raise SystemExit("no sequences given (--kitti/--img-dir/--synthetic)")
+        raise SystemExit("no sequences given "
+                         "(--kitti/--euroc/--malaga/--img-dir/--synthetic)")
 
     cam0 = dss[0].cam
     for i, ds in enumerate(dss[1:], 1):
@@ -91,9 +104,19 @@ def _load_sequences(args):
     n = min(len(ds) for ds in dss)
     if args.frames:
         n = min(n, args.frames)
+    rmaps = dss[0].rectify_maps
+    for i, ds in enumerate(dss[1:], 1):
+        a, b = rmaps, ds.rectify_maps
+        same = (a is None) == (b is None) and (
+            a is None or all(np.allclose(x, y)
+                             for x, y in zip(np.ravel(a, order="K"),
+                                             np.ravel(b, order="K"))))
+        if not same:
+            raise SystemExit(f"sequence {names[i]} has different "
+                             "rectification maps: run it in its own fleet")
     its = [((f.left, f.right) for f in ds.prefetch()) for ds in dss]
     gts = [ds.gt_poses for ds in dss]
-    return RSOConfig(), cam0, n, its, gts, names
+    return RSOConfig(), cam0, n, its, gts, names, rmaps
 
 
 def main(argv=None):
@@ -104,7 +127,7 @@ def main(argv=None):
     from rso.metrics.ate import ate_rmse
     from rso.parallel import BatchEngine
 
-    cfg, cam, n, its, gts, names = _load_sequences(args)
+    cfg, cam, n, its, gts, names, rectify_maps = _load_sequences(args)
     if args.config:
         cfg = load_config(args.config, base=cfg)
 
@@ -117,7 +140,8 @@ def main(argv=None):
                              f"fleet is {H}x{W}: image sizes must match")
     pending = [[f] for f in firsts]  # peeked frames re-enter the stream
 
-    be = BatchEngine(cfg, cam, batch=B, img_h=H, img_w=W)
+    be = BatchEngine(cfg, cam, batch=B, img_h=H, img_w=W,
+                     rectify_maps=rectify_maps)
     print(f"[rso-fleet] {B} sequences x {n} frames at {W}x{H} over "
           f"{be.mesh.devices.size} device(s)", file=sys.stderr)
 

@@ -22,7 +22,8 @@ class BatchEngine:
     """Run B independent sequences through one vmapped, mesh-sharded step."""
 
     def __init__(self, cfg: RSOConfig, cam: StereoCamera, batch: int,
-                 img_h: int, img_w: int, mesh: Mesh | None = None):
+                 img_h: int, img_w: int, mesh: Mesh | None = None,
+                 rectify_maps=None):
         if mesh is None:
             # use every local device that evenly divides the batch
             n_dev = len(jax.devices())
@@ -32,7 +33,7 @@ class BatchEngine:
         self.batch = batch
         self.cfg = cfg
         self._shard = NamedSharding(mesh, P("seq"))
-        step = make_step(cfg, cam, img_h, img_w)
+        step = make_step(cfg, cam, img_h, img_w, rectify_maps=rectify_maps)
         self._raw_step = step
         self._step = jax.jit(jax.vmap(step))
         self._chunk = None
