@@ -3,6 +3,8 @@ semantics, recovery behavior, match-ID/KF bookkeeping.
 """
 import dataclasses
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -251,3 +253,36 @@ class TestEngineAPIs:
         r = eng.process_frame(*seq.frames[1])
         assert int(np.asarray(r.detected_feats).sum()) > 100
         assert bool(r.valid)
+
+
+class TestDegenerateImages:
+    """Pathological frames (flat black/white, pure noise) must flow through
+    the whole jitted step without NaN/Inf anywhere — the failure-detection
+    contract: report an error code, keep the state finite, recover when the
+    scene comes back."""
+
+    def test_flat_and_noise_frames_stay_finite_then_recover(self):
+        seq = make_sequence(n_frames=4, n_points=1200, H=120, W=160)
+        eng = Engine(synthetic_config(), seq.cam)
+        eng.process_frame(*seq.frames[0])
+        eng.process_frame(*seq.frames[1])
+
+        rng = np.random.default_rng(3)
+        bad = [np.zeros((120, 160), np.uint8),
+               np.full((120, 160), 255, np.uint8),
+               rng.integers(0, 255, (120, 160), np.uint8)]
+        for img in bad:
+            res = eng.process_frame(img, img)
+            assert not bool(res.valid)
+            assert np.isfinite(np.asarray(res.pose)).all()
+            assert np.isfinite(np.asarray(res.residuals)).all()
+            # the carried state must stay finite too, or the next good
+            # frame inherits the poison
+            for leaf in jax.tree_util.tree_leaves(eng.state):
+                arr = np.asarray(leaf)
+                if arr.dtype.kind == "f":
+                    assert np.isfinite(arr).all()
+
+        for l, r in seq.frames[2:]:
+            res = eng.process_frame(l, r)
+        assert np.isfinite(np.asarray(res.pose)).all()
