@@ -51,7 +51,9 @@ def build_parser():
     p.add_argument("--live-overlay", type=int, default=10, metavar="N",
                    help="with --live: publish a feature/pairing overlay "
                         "image every N frames (0 = never; pulls octave-0 "
-                        "features to the host, off the device hot path)")
+                        "features to the host, off the device hot path; "
+                        "skipped for unrectified rigs whose features live "
+                        "in rectified coordinates)")
     p.add_argument("--cam-pose", metavar="'X Y Z YAW PITCH ROLL'",
                    help="camera pose on the robot (metres, degrees, MRPT "
                         "CPose3D convention): the output trajectory becomes "
@@ -73,8 +75,9 @@ def build_parser():
                         "(Engine.process_chunk) instead of frame-at-a-time "
                         "calls — same math and state evolution, amortizes the "
                         "per-dispatch host/link cost (~1000 FPS on one v5e "
-                        "chip at N>=120).  Disables interactive keys; a "
-                        "shorter final chunk triggers one extra compile")
+                        "chip at N>=120).  Interactive keys act at chunk "
+                        "boundaries; a shorter final chunk triggers one "
+                        "extra compile")
     p.add_argument("--ba", action="store_true",
                    help="sliding-window bundle adjustment at keyframe rate")
     p.add_argument("--ba-offline", action="store_true",
@@ -378,6 +381,12 @@ def main(argv=None):
                 buf_ts.append(ts)
                 if len(buf_l) == args.chunk:
                     flush()
+                    # interactive controls (TTY or --live browser) act at
+                    # chunk boundaries: pause blocks here, quit stops
+                    if not keys.wait_if_paused():
+                        print("[rso] quit requested", file=sys.stderr)
+                        buf_l.clear(), buf_r.clear(), buf_ts.clear()
+                        break
             flush()
         frames = ()  # per-frame loop below sees an exhausted source
 
@@ -412,8 +421,11 @@ def main(argv=None):
                 cnt["tracked"] = int(res.tracked_feats_from_last_frame)
                 cnt["err"] = error_name(res.error_code)
             canvas = None
+            # no overlay for unrectified rigs (EuRoC): state features live
+            # in rectified coordinates, the raw host frames don't — drawing
+            # one on the other would offset every mark by the rectify warp
             if (args.live_overlay and n_frames % args.live_overlay == 0
-                    and eng.state is not None):
+                    and eng.state is not None and rectify_maps is None):
                 from rso.metrics.live_view import overlay_from_state
 
                 canvas = overlay_from_state(left, right, eng.state)

@@ -37,6 +37,10 @@ def build_parser():
     p.add_argument("--img-dir", action="append", default=[], metavar="DIR",
                    help="generic left_*/right_* dir (repeatable; needs --cam)")
     p.add_argument("--cam", help="camera calibration INI for --img-dir")
+    p.add_argument("--poses", action="append", default=[], metavar="FILE",
+                   help="ground-truth poses file for the Nth --kitti dir "
+                        "(repeatable, matched in order; enables the ATE "
+                        "lines)")
     p.add_argument("--synthetic", type=int, default=0, metavar="B",
                    help="run B synthetic blob sequences with seeds 0..B-1")
     p.add_argument("--frames", type=int, default=0,
@@ -73,8 +77,9 @@ def _load_sequences(args):
     from rso.io import datasets
 
     dss, names = [], []
-    for d in args.kitti:
-        dss.append(datasets.load_kitti(d))
+    for i, d in enumerate(args.kitti):
+        poses = args.poses[i] if i < len(args.poses) else None
+        dss.append(datasets.load_kitti(d, poses_file=poses))
         names.append(d.rstrip("/").rsplit("/", 1)[-1])
     for d in args.euroc:
         dss.append(datasets.load_euroc(d))
@@ -92,6 +97,22 @@ def _load_sequences(args):
     if not dss:
         raise SystemExit("no sequences given "
                          "(--kitti/--euroc/--malaga/--img-dir/--synthetic)")
+    for ds, name in zip(dss, names):
+        if len(ds) == 0:
+            raise SystemExit(f"sequence {name} is empty "
+                             "(no stereo frames found)")
+    # de-duplicate display names (two parents with the same leaf dir would
+    # silently overwrite each other's seq_<name>.txt)
+    seen: dict = {}
+    for i, nm in enumerate(names):
+        if nm in seen:
+            names[i] = f"{nm}_{i}"
+            if seen[nm] is not None:
+                j = seen[nm]
+                names[j] = f"{nm}_{j}"
+                seen[nm] = None
+        else:
+            seen[nm] = i
 
     cam0 = dss[0].cam
     for i, ds in enumerate(dss[1:], 1):
@@ -107,10 +128,10 @@ def _load_sequences(args):
     rmaps = dss[0].rectify_maps
     for i, ds in enumerate(dss[1:], 1):
         a, b = rmaps, ds.rectify_maps
+        flat = lambda t: [np.asarray(m) for pair in t for m in pair]
         same = (a is None) == (b is None) and (
-            a is None or all(np.allclose(x, y)
-                             for x, y in zip(np.ravel(a, order="K"),
-                                             np.ravel(b, order="K"))))
+            a is None or all(x.shape == y.shape and np.allclose(x, y)
+                             for x, y in zip(flat(a), flat(b))))
         if not same:
             raise SystemExit(f"sequence {names[i]} has different "
                              "rectification maps: run it in its own fleet")
@@ -127,9 +148,13 @@ def main(argv=None):
     from rso.metrics.ate import ate_rmse
     from rso.parallel import BatchEngine
 
+    if args.chunk < 1:
+        raise SystemExit("--chunk must be >= 1 (frames per device dispatch)")
     cfg, cam, n, its, gts, names, rectify_maps = _load_sequences(args)
     if args.config:
         cfg = load_config(args.config, base=cfg)
+    if n == 0:
+        raise SystemExit("no frames to process")
 
     B = len(its)
     firsts = [next(it) for it in its]  # peek one frame for the image size

@@ -198,32 +198,54 @@ def watch_image_dir(dir_path: str,
     MRPT camera/rawlog stream until the stream ends; here the camera
     driver is whatever process drops `left_NNN.png`/`right_NNN.png` files).
 
-    Pairs are matched by sorted filename order; a left image is only
-    yielded once its right partner exists.  A file that appears but is
-    still being written would decode short — each image is read only after
-    its size is stable across one poll interval.  The generator ends after
+    Pairs are matched by filename STEM (`left_0007.png` <-> `right_0007.png`),
+    not list position, so one permanently missing file on either side skips
+    that single frame instead of shifting every later pair off by one.  A
+    file that appears but is still being written would decode short — each
+    image is read only after its size is stable across one poll interval —
+    and every already-stable pair drains in ONE poll pass (a backlog, or a
+    writer faster than 1/poll_s, does not queue up behind a
+    one-frame-per-poll cap).  Frames are yielded in sorted-stem order
+    (zero-padded names, like the reference's image dirs); a straggler pair
+    completing after a later stem was served is dropped with a warning
+    rather than emitted out of order.  The generator ends after
     `idle_timeout_s` with no new complete pair (stream over).
     """
-    served = 0
-    last_new = _time.monotonic()
+    import sys
+
+    def _stem(path: str) -> str:
+        base = os.path.splitext(os.path.basename(path))[0]
+        return base.split("_", 1)[1] if "_" in base else base
+
+    idx = 0
+    last_served: str | None = None
     sizes: dict = {}
+    last_new = _time.monotonic()
     while True:
-        lp = sorted(globmod.glob(os.path.join(dir_path, left_glob)))
-        rp = sorted(globmod.glob(os.path.join(dir_path, right_glob)))
-        n = min(len(lp), len(rp))
+        lp = {_stem(p): p for p in
+              globmod.glob(os.path.join(dir_path, left_glob))}
+        rp = {_stem(p): p for p in
+              globmod.glob(os.path.join(dir_path, right_glob))}
         progressed = False
-        while served < n:
-            l_path, r_path = lp[served], rp[served]
+        for k in sorted(set(lp) & set(rp)):
+            if last_served is not None and k <= last_served:
+                if k in sizes:  # completed after a later stem was served
+                    print(f"[rso] watch: dropping out-of-order pair {k!r}",
+                          file=sys.stderr)
+                    sizes.pop(k, None)
+                continue
             try:
-                sz = (os.path.getsize(l_path), os.path.getsize(r_path))
+                sz = (os.path.getsize(lp[k]), os.path.getsize(rp[k]))
             except OSError:
-                break  # racing the writer; retry next poll
-            if sizes.get(served) != sz:
-                sizes[served] = sz  # first sighting or still growing:
-                break               # require one stable-size poll
-            yield StereoFrame(_imread_gray(l_path), _imread_gray(r_path),
-                              timestamp=served * 0.1, index=served)
-            served += 1
+                continue  # racing the writer; retry next poll
+            if sizes.get(k) != sz:
+                sizes[k] = sz  # first sighting or still growing:
+                continue       # require one stable-size poll
+            yield StereoFrame(_imread_gray(lp[k]), _imread_gray(rp[k]),
+                              timestamp=idx * 0.1, index=idx)
+            sizes.pop(k, None)
+            last_served = k
+            idx += 1
             progressed = True
         if progressed:
             last_new = _time.monotonic()

@@ -252,10 +252,11 @@ function draw(){
    v=>v*span*0.12),cx,cy,s);
   g.moveTo(o[0],o[1]);g.lineTo(e[0],e[1]);g.stroke();});
  if(gt)line(gt,'#777');
- line(pts,'#4da3ff');
- const last=proj(ctr(pts[pts.length-1]),cx,cy,s);
- g.fillStyle='#ffd24d';g.beginPath();
- g.arc(last[0],last[1],4,0,7);g.fill();}
+ if(pts.length){
+  line(pts,'#4da3ff');
+  const last=proj(ctr(pts[pts.length-1]),cx,cy,s);
+  g.fillStyle='#ffd24d';g.beginPath();
+  g.arc(last[0],last[1],4,0,7);g.fill();}}
 let drag=null;
 const cv=document.getElementById('c');
 cv.addEventListener('pointerdown',e=>{drag=[e.clientX,e.clientY];});

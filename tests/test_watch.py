@@ -91,3 +91,36 @@ class TestWatchCLI:
         lines = out.read_text().strip().splitlines()
         assert len(lines) == 5  # identity + 4 frames
         assert all(len(ln.split()) == 12 for ln in lines)
+
+
+class TestWatchRobustness:
+    def test_backlog_drains_multiple_pairs_per_poll(self, tmp_path):
+        """6 pre-existing pairs must drain in ~2 polls (size-stability pass
+        + yield pass), not one pair per poll."""
+        rng = np.random.default_rng(2)
+        for i in range(6):
+            img = rng.integers(0, 255, (24, 32), np.uint8)
+            _write_pair(tmp_path, i, img, img)
+        t0 = time.monotonic()
+        got = list(watch_image_dir(str(tmp_path), poll_s=0.2,
+                                   idle_timeout_s=0.8))
+        drain = time.monotonic() - t0
+        assert [f.index for f in got] == list(range(6))
+        # one-pair-per-poll would need >= 6 polls (1.2 s) before idle even
+        # starts; the multi-drain path finishes inside ~2 polls + idle
+        assert drain < 0.4 + 0.8 + 0.5
+
+    def test_missing_partner_skips_only_that_frame(self, tmp_path):
+        """left_0002 without right_0002 must not shift later pairs off by
+        one — stem matching pairs 0003 with 0003."""
+        rng = np.random.default_rng(4)
+        imgs = [rng.integers(0, 255, (24, 32), np.uint8) for _ in range(4)]
+        for i in range(4):
+            cv2.imwrite(str(tmp_path / f"left_{i:04d}.png"), imgs[i])
+            if i != 2:
+                cv2.imwrite(str(tmp_path / f"right_{i:04d}.png"), imgs[i])
+        got = list(watch_image_dir(str(tmp_path), poll_s=0.05,
+                                   idle_timeout_s=0.5))
+        assert len(got) == 3
+        for f, want in zip(got, [imgs[0], imgs[1], imgs[3]]):
+            np.testing.assert_array_equal(f.right, want)
