@@ -81,9 +81,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 import jax
+NPROC = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 jax.distributed.initialize(
     coordinator_address=sys.argv[1],
-    num_processes=2,
+    num_processes=NPROC,
     process_id=int(sys.argv[2]),
 )
 import jax.numpy as jnp
@@ -96,8 +97,8 @@ from rso.ba.ba import _project_grid
 from rso.ba.window_sharded import make_win_mesh
 from rso.geometry.stereo_camera import StereoCamera
 
-assert jax.process_count() == 2
-assert len(jax.devices()) == 2
+assert jax.process_count() == NPROC
+assert len(jax.devices()) == NPROC
 
 CAM = StereoCamera.make(fx_l=500.0, fy_l=500.0, cx_l=320.0, cy_l=240.0,
                         baseline=0.5)
@@ -122,10 +123,10 @@ def make_problem(seed, P=4, L=64):
                      lmks=lmks_true + 0.05, obs=obs,
                      mask=jnp.ones((P, L), bool))
 
-probs = [make_problem(s) for s in range(2)]
-# one window per HOST: win axis spans the two processes, lmk axis is 1 —
+probs = [make_problem(s) for s in range(NPROC)]
+# one window per HOST: win axis spans the processes, lmk axis is 1 —
 # the steady-state DCN-traffic-free configuration
-mesh = make_win_mesh(2, 1, devices=jax.devices())
+mesh = make_win_mesh(NPROC, 1, devices=jax.devices())
 outs = window_sharded_bundle_adjust(CAM, probs, mesh, max_iters=10)
 poses = [np.asarray(jax.device_get(o.poses)).tolist() for o in outs]
 if jax.process_index() == 0:
@@ -186,7 +187,7 @@ jax.distributed.shutdown()
 """
 
 
-def _run_two_process(tmp_path, worker_src, timeout=420):
+def _run_n_process(tmp_path, worker_src, timeout=420, nproc=2):
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
     addr = f"127.0.0.1:{port.getsockname()[1]}"
@@ -203,9 +204,9 @@ def _run_two_process(tmp_path, worker_src, timeout=420):
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker_py), addr, str(pid), str(out_json),
-             repo],
+             repo, str(nproc)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in (0, 1)
+        for pid in range(nproc)
     ]
     outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
     for p, o in zip(procs, outs):
@@ -218,7 +219,7 @@ def _run_two_process(tmp_path, worker_src, timeout=420):
 def test_two_process_window_sharded_ba(tmp_path):
     """2 hosts x 1 chip, one window per host: the DCN-free sharding must
     reproduce the single-process solver per window."""
-    out = _run_two_process(tmp_path, _WORKER_WINSHARD)
+    out = _run_n_process(tmp_path, _WORKER_WINSHARD)
 
     import jax.numpy as jnp
     from scipy.spatial.transform import Rotation
@@ -259,7 +260,7 @@ def test_two_process_dp_step(tmp_path):
     """2-process data-parallel engine step (BatchEngine over a global 'seq'
     mesh): each process's shard must equal a local single-engine run.  The
     assertion lives in the workers; returncode 0 == pass."""
-    out = _run_two_process(tmp_path, _WORKER_DPSTEP, timeout=600)
+    out = _run_n_process(tmp_path, _WORKER_DPSTEP, timeout=600)
     assert out["ok"] is True
 
 
@@ -327,3 +328,48 @@ def test_two_process_distributed_ba(tmp_path):
     )
     ref = bundle_adjust(CAM, prob, max_iters=10)
     np.testing.assert_allclose(dist_poses, np.asarray(ref.poses), atol=1e-3)
+
+
+def _winshard_ref_poses(seed):
+    """Single-process bundle_adjust on the worker's make_problem(seed)."""
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from rso.ba import BAProblem, bundle_adjust
+    from rso.ba.ba import _project_grid
+    from rso.geometry.stereo_camera import StereoCamera
+
+    CAM = StereoCamera.make(fx_l=500.0, fy_l=500.0, cx_l=320.0, cy_l=240.0,
+                            baseline=0.5)
+    rng = np.random.default_rng(seed)
+    P_, L = 4, 64
+    true_poses = []
+    for p in range(P_):
+        T_wc = np.array([0.01 * p, -0.005 * p, 0.4 * p])
+        w = np.array([0.0, 0.002 * p, 0.0])
+        Rwc = Rotation.from_rotvec(w).as_matrix().T
+        t = -Rwc @ T_wc
+        true_poses.append(
+            np.concatenate([Rotation.from_matrix(Rwc).as_rotvec(), t]))
+    true_poses = jnp.asarray(np.stack(true_poses), jnp.float32)
+    lmks_true = jnp.asarray(np.stack([
+        rng.uniform(-8, 8, L), rng.uniform(-4, 4, L),
+        rng.uniform(5, 30, L)], -1), jnp.float32)
+    pix, _, _ = _project_grid(CAM, true_poses, lmks_true)
+    obs = pix + jnp.asarray(rng.normal(0, 0.2, pix.shape), jnp.float32)
+    prob = BAProblem(poses=(true_poses + 0.01).at[0].set(true_poses[0]),
+                     lmks=lmks_true + 0.05, obs=obs,
+                     mask=jnp.ones((P_, L), bool))
+    return np.asarray(bundle_adjust(CAM, prob, max_iters=10).poses)
+
+
+@pytest.mark.slow
+def test_four_process_window_sharded_ba(tmp_path):
+    """4 hosts x 1 chip, one window per host — the exact >=80%-at-4-hosts
+    DCN configuration BASELINE.md models (zero steady-state cross-'win'
+    collectives).  All 4 windows must reproduce the single-process solver."""
+    out = _run_n_process(tmp_path, _WORKER_WINSHARD, timeout=600, nproc=4)
+    assert len(out["poses"]) == 4
+    for seed in range(4):
+        np.testing.assert_allclose(np.asarray(out["poses"][seed]),
+                                   _winshard_ref_poses(seed), atol=1e-3)
