@@ -102,13 +102,14 @@ class TestWatchRobustness:
             img = rng.integers(0, 255, (24, 32), np.uint8)
             _write_pair(tmp_path, i, img, img)
         t0 = time.monotonic()
-        got = list(watch_image_dir(str(tmp_path), poll_s=0.2,
+        got = list(watch_image_dir(str(tmp_path), poll_s=0.5,
                                    idle_timeout_s=0.8))
         drain = time.monotonic() - t0
         assert [f.index for f in got] == list(range(6))
-        # one-pair-per-poll would need >= 6 polls (1.2 s) before idle even
-        # starts; the multi-drain path finishes inside ~2 polls + idle
-        assert drain < 0.4 + 0.8 + 0.5
+        # one-pair-per-poll would sleep >= 6 polls (3.0 s) before idle even
+        # starts; the multi-drain path needs ~2 polls (1.0 s) + 0.8 s idle.
+        # 3.2 s splits the two with >= 0.6 s margin either way under load
+        assert drain < 3.2
 
     def test_missing_partner_skips_only_that_frame(self, tmp_path):
         """left_0002 without right_0002 must not shift later pairs off by
