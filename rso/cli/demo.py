@@ -113,8 +113,13 @@ def _cam_pose_from_args(args) -> np.ndarray | None:
     """--cam-pose flag, else the config INI's GENERAL/camera_pose_on_robot
     (the key the reference app INI carries); None when absent/zero."""
     v = None
+    src = "--cam-pose"
     if args.cam_pose:
-        v = [float(a) for a in args.cam_pose.split()]
+        try:
+            v = [float(a) for a in args.cam_pose.split()]
+        except ValueError:
+            raise SystemExit("bad --cam-pose (need 6 numbers: "
+                             "x y z yaw pitch roll)")
     elif args.config:
         import configparser
 
@@ -123,13 +128,20 @@ def _cam_pose_from_args(args) -> np.ndarray | None:
         p.read(args.config)
         raw = p.get("GENERAL", "camera_pose_on_robot", fallback=None)
         if raw:
-            v = [float(a) for a in
-                 raw.replace("[", " ").replace("]", " ").split()]
+            src = (f"GENERAL/camera_pose_on_robot in {args.config}")
+            try:
+                # accept both "[x y z ...]" and the comma-separated INI
+                # vector style "[x, y, z, ...]"
+                v = [float(a) for a in
+                     raw.replace("[", " ").replace("]", " ")
+                        .replace(",", " ").split()]
+            except ValueError:
+                raise SystemExit(f"bad {src}: {raw!r} (need 6 numbers: "
+                                 "x y z yaw pitch roll)")
     if v is None:
         return None
     if len(v) != 6:
-        raise SystemExit("--cam-pose/camera_pose_on_robot needs 6 values: "
-                         "x y z yaw pitch roll")
+        raise SystemExit(f"bad {src}: needs 6 values: x y z yaw pitch roll")
     if not any(v):
         return None  # identity extrinsic: skip the per-pose conjugation
     return _pose_on_robot(v)
@@ -270,11 +282,9 @@ def main(argv=None):
 
     if args.config:
         cfg = load_config(args.config, base=cfg)
-    try:
-        cam_on_robot = _cam_pose_from_args(args)
-    except ValueError:
-        print("[rso] bad --cam-pose (need 6 numbers)", file=sys.stderr)
-        return 2
+    # parse errors raise SystemExit with a source-specific message
+    # (--cam-pose flag vs the config INI's camera_pose_on_robot key)
+    cam_on_robot = _cam_pose_from_args(args)
 
     logger = VOLogger(args.verbosity)
     prof = SpanProfiler(args.profile)
@@ -321,6 +331,9 @@ def main(argv=None):
         viewer = LiveViewer(args.live, control=remote)
         print(f"[rso] live view: http://127.0.0.1:{viewer.start()}/",
               file=sys.stderr)
+        print(f"[rso] control: curl -X POST "
+              f"'http://127.0.0.1:{viewer.port}/control?t={viewer.token}' "
+              f"-d p", file=sys.stderr)
         if gt is not None:
             viewer.set_ground_truth(np.asarray(gt))
 
@@ -375,6 +388,12 @@ def main(argv=None):
             buf_l.clear(), buf_r.clear(), buf_ts.clear()
 
         with prof.span("processNewImagePair"):
+            # honor a start-paused run (--pause) BEFORE the first chunk is
+            # buffered/dispatched, matching per-frame mode's pause-before-
+            # frame-1 semantics
+            if not keys.wait_if_paused():
+                print("[rso] quit requested", file=sys.stderr)
+                frames = iter(())
             for left, right, ts in frames:
                 buf_l.append(left)
                 buf_r.append(right)

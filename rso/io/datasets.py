@@ -220,6 +220,7 @@ def watch_image_dir(dir_path: str,
     idx = 0
     last_served: str | None = None
     sizes: dict = {}
+    warned: set = set()   # out-of-order stems already reported
     last_new = _time.monotonic()
     while True:
         lp = {_stem(p): p for p in
@@ -229,9 +230,14 @@ def watch_image_dir(dir_path: str,
         progressed = False
         for k in sorted(set(lp) & set(rp)):
             if last_served is not None and k <= last_served:
-                if k in sizes:  # completed after a later stem was served
+                # warn on EVERY dropped late pair, including one that first
+                # appears fully formed after a later stem was served (e.g. a
+                # file copied in late, never sighted in `sizes`) — a pair
+                # must never vanish without a trace
+                if k in sizes or k not in warned:
                     print(f"[rso] watch: dropping out-of-order pair {k!r}",
                           file=sys.stderr)
+                    warned.add(k)
                     sizes.pop(k, None)
                 continue
             try:

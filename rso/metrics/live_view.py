@@ -22,6 +22,7 @@ string, vanilla JS, no CDN.
 from __future__ import annotations
 
 import json
+import secrets
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -81,6 +82,12 @@ class LiveViewer:
     def __init__(self, port: int = 0, control: RemoteControl | None = None):
         self.port = port
         self.control = control
+        # /control auth: the 127.0.0.1 bind excludes remote hosts but not
+        # other local users/processes on a shared machine — without a token
+        # any local peer could pause or quit a long run.  The token is
+        # embedded in the served page (same-origin JS sees it) and printed
+        # by the CLI for curl users.
+        self.token = secrets.token_urlsafe(12)
         self._lock = threading.Lock()
         self._positions: list[list[float]] = []
         self._gt_positions: list[list[float]] | None = None
@@ -148,7 +155,9 @@ class LiveViewer:
             def do_GET(self):
                 path, _, query = self.path.partition("?")
                 if path == "/":
-                    self._send(200, "text/html", _PAGE)
+                    self._send(200, "text/html",
+                               _PAGE.replace(b"%%TOKEN%%",
+                                             viewer.token.encode()))
                 elif path == "/state":
                     since = 0
                     for kv in query.split("&"):
@@ -169,10 +178,17 @@ class LiveViewer:
                     self._send(404, "text/plain", b"not found")
 
             def do_POST(self):
-                if self.path.startswith("/control"):
+                path, _, query = self.path.partition("?")
+                if path == "/control":
                     n = int(self.headers.get("Content-Length", 0) or 0)
                     cmd = self.rfile.read(n).decode(errors="replace").strip()
-                    if viewer.control is not None and cmd in ("p", "s", "q"):
+                    tok = self.headers.get("X-RSO-Token", "")
+                    for kv in query.split("&"):
+                        if kv.startswith("t="):
+                            tok = kv[2:]
+                    if not secrets.compare_digest(tok, viewer.token):
+                        self._send(403, "text/plain", b"bad token")
+                    elif viewer.control is not None and cmd in ("p", "s", "q"):
                         viewer.control.push(cmd)
                         self._send(200, "text/plain", b"ok")
                     else:
@@ -213,7 +229,7 @@ padding:4px 10px;cursor:pointer} img{border:1px solid #333;max-width:760px}
  onload="this.style.display=''"></div>
 <script>
 let pts=[],gt=null,n=0,az=-0.7,el=0.5,zoom=1,latest={};
-function ctl(c){fetch('/control',{method:'POST',body:c});}
+function ctl(c){fetch('/control?t=%%TOKEN%%',{method:'POST',body:c});}
 async function poll(){
  try{const r=await fetch('/state?since='+n);const s=await r.json();
   if(s.since===0){pts=[];}

@@ -84,14 +84,26 @@ class TestLiveViewer:
         assert body[:2] == b"\xff\xd8"  # JPEG SOI marker
 
     def test_control_verbs_reach_the_key_loop(self, viewer):
-        _, rc, port = viewer
+        v, rc, port = viewer
         for cmd in ("p", "s", "q"):
-            status, body = _post(port, "/control", cmd)
+            status, body = _post(port, f"/control?t={v.token}", cmd)
             assert status == 200 and body == b"ok"
         with pytest.raises(urllib.error.HTTPError) as ei:
-            _post(port, "/control", "x")  # unknown verb rejected
+            _post(port, f"/control?t={v.token}", "x")  # unknown verb rejected
         assert ei.value.code == 400
         assert [rc.pop() for _ in range(4)] == ["p", "s", "q", None]
+
+    def test_control_requires_token(self, viewer):
+        """A local peer without the token cannot pause/quit the run; the
+        served page carries the token so same-origin JS keeps working."""
+        v, rc, port = viewer
+        for path in ("/control", "/control?t=wrong"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(port, path, "q")
+            assert ei.value.code == 403
+        assert rc.pop() is None
+        page = _get(port, "/")[2]
+        assert v.token.encode() in page and b"%%TOKEN%%" not in page
 
 
 class TestKeyControlRemote:
