@@ -163,16 +163,61 @@ def load_euroc(seq_dir: str) -> StereoDataset:
 
 
 def load_malaga(seq_dir: str, cam: StereoCamera | None = None) -> StereoDataset:
-    """Malaga Urban dataset extract: *_left.jpg / *_right.jpg image pairs."""
-    lp = sorted(globmod.glob(os.path.join(seq_dir, "*left*.jpg")))
-    rp = sorted(globmod.glob(os.path.join(seq_dir, "*right*.jpg")))
-    n = min(len(lp), len(rp))
-    ts = np.arange(n) * 0.05
-    if cam is None:  # published Malaga stereo parameters
+    """Malaga Urban dataset extract (BASELINE.json config #4).
+
+    Accepts either the extract root (`malaga-urban-dataset-extract-XX/`,
+    whose stereo frames live under `Images/`) or the images directory
+    itself.  Frames are named
+    `img_CAMERA1_<unix_ts.decimals>_left.jpg` / `..._right.jpg`; pairing is
+    by filename STEM (the shared prefix before `_left`/`_right`), not list
+    position, so a single missing eye skips that frame instead of shifting
+    every later pair off by one.  Timestamps come from the filename when it
+    carries one (the dataset's 20 Hz capture clock), else a synthetic 20 Hz
+    ramp.  Images are already rectified (the extracts ship the rectified
+    stereo stream), so no rectify_maps.
+    """
+    img_dir = seq_dir
+    sub = os.path.join(seq_dir, "Images")
+    if os.path.isdir(sub):
+        img_dir = sub
+
+    def _pairs(ext):
+        lp = {_strip_eye(p, "left"): p
+              for p in globmod.glob(os.path.join(img_dir, f"*left*{ext}"))}
+        rp = {_strip_eye(p, "right"): p
+              for p in globmod.glob(os.path.join(img_dir, f"*right*{ext}"))}
+        stems = sorted(set(lp) & set(rp))
+        return [lp[s] for s in stems], [rp[s] for s in stems], stems
+
+    lps, rps, stems = _pairs(".jpg")
+    if not lps:  # some extracts are re-encoded as png
+        lps, rps, stems = _pairs(".png")
+    ts = []
+    for i, s in enumerate(stems):
+        # img_CAMERA1_1261228749.918590 -> 1261228749.918590
+        tail = s.rsplit("_", 1)[-1]
+        try:
+            ts.append(float(tail))
+        except ValueError:
+            ts.append(i * 0.05)
+    t0 = ts[0] if ts else 0.0
+    ts = np.asarray([t - t0 for t in ts])
+    if cam is None:  # published Malaga stereo parameters (1024x768 rig)
         cam = StereoCamera.make(fx_l=795.11588, fy_l=795.11588,
                                 cx_l=517.12973, cy_l=395.59665,
                                 baseline=0.1194)
-    return StereoDataset(lp[:n], rp[:n], ts, cam)
+    return StereoDataset(lps, rps, ts, cam)
+
+
+def _strip_eye(path: str, eye: str) -> str:
+    """Filename stem shared by both eyes: basename minus extension and the
+    trailing `_left`/`_right` (or `left`/`right`) marker."""
+    base = os.path.splitext(os.path.basename(path))[0]
+    for marker in (f"_{eye}", eye):
+        idx = base.rfind(marker)
+        if idx >= 0:
+            return base[:idx] + base[idx + len(marker):]
+    return base
 
 
 def load_image_dir(dir_path: str, cam: StereoCamera,

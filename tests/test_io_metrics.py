@@ -229,6 +229,93 @@ vo_out_dir = /tmp/x
         assert int(np.asarray(results[1].detected_feats).sum()) > 50
 
 
+class TestMalagaLoader:
+    """load_malaga against the real extract layout (BASELINE.json config #4):
+    `<root>/Images/img_CAMERA1_<unix_ts>_left.jpg` pairs, rectified stream,
+    published 1024x768 calibration."""
+
+    @staticmethod
+    def _tree(root, n=4, drop_right=None, ts0=1261228749.918590):
+        from PIL import Image
+
+        img = np.random.default_rng(0).integers(0, 255, (24, 32),
+                                                dtype=np.uint8)
+        d = root / "Images"
+        d.mkdir()
+        for i in range(n):
+            ts = ts0 + i * 0.05
+            Image.fromarray(img).save(d / f"img_CAMERA1_{ts:.6f}_left.jpg")
+            if i != drop_right:
+                Image.fromarray(img).save(
+                    d / f"img_CAMERA1_{ts:.6f}_right.jpg")
+        return root
+
+    def test_layout_calib_and_timestamps(self, tmp_path):
+        from rso.io.datasets import load_malaga
+
+        self._tree(tmp_path)
+        ds = load_malaga(str(tmp_path))           # extract root
+        ds2 = load_malaga(str(tmp_path / "Images"))  # images dir directly
+        assert len(ds) == len(ds2) == 4
+        # published Malaga stereo intrinsics are the default calibration
+        assert abs(ds.cam.fx_l - 795.11588) < 1e-4
+        assert abs(ds.cam.baseline - 0.1194) < 1e-6
+        assert ds.rectify_maps is None  # extracts ship rectified images
+        # filename capture clock, rebased to t=0, 20 Hz spacing
+        np.testing.assert_allclose(ds.timestamps,
+                                   np.arange(4) * 0.05, atol=1e-6)
+        f = ds[0]
+        assert f.left.shape == (24, 32) and f.left.dtype == np.uint8
+
+    def test_pairing_by_stem_not_position(self, tmp_path):
+        """A single missing right eye must skip that one frame, not shift
+        every later pair off by one."""
+        from rso.io.datasets import load_malaga
+
+        self._tree(tmp_path, n=5, drop_right=1)
+        ds = load_malaga(str(tmp_path))
+        assert len(ds) == 4
+        for lp, rp in zip(ds.left_paths, ds.right_paths):
+            assert (os.path.basename(lp).replace("_left", "")
+                    == os.path.basename(rp).replace("_right", ""))
+        # the dropped stem appears in neither list
+        assert not any("918590" not in p or "968590" in p
+                       for p in ds.right_paths[:1])
+
+    def test_empty_dir(self, tmp_path):
+        from rso.io.datasets import load_malaga
+
+        ds = load_malaga(str(tmp_path))
+        assert len(ds) == 0
+
+    def test_demo_cli_malaga_end_to_end(self, tmp_path):
+        """`rso-demo --malaga` on a Malaga-layout tree: loader + prefetch +
+        engine + trajectory writer (the surface BASELINE.json config #4
+        advertises; full-size real-pixel drive in
+        tools/real_malaga_drive.py)."""
+        from rso.cli import demo
+
+        # bigger-than-minimum frames so the engine finds features; tiny
+        # enough to keep the compile fast on CPU
+        from PIL import Image
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (96, 128), dtype=np.uint8)
+        d = tmp_path / "Images"
+        d.mkdir()
+        for i in range(3):
+            ts = 1261228749.9 + i * 0.05
+            for eye in ("left", "right"):
+                Image.fromarray(img).save(
+                    d / f"img_CAMERA1_{ts:.6f}_{eye}.jpg")
+        out = tmp_path / "traj.txt"
+        rc = demo.main(["--malaga", str(tmp_path), "--frames", "3",
+                        "--out", str(out), "--verbosity", "0"])
+        assert rc == 0
+        T = np.loadtxt(out)
+        assert T.shape == (4, 12)  # initial pose + one row per frame
+
+
 class TestProfiler:
     def test_spans(self):
         p = SpanProfiler()
