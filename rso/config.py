@@ -62,9 +62,19 @@ class RectifyParams:
 
 @dataclass(frozen=True)
 class DetectParams:
-    """[DETECT] — reference TDetectParams defaults (stage2_detect.cpp:44-58)."""
+    """[DETECT] — reference TDetectParams defaults (stage2_detect.cpp:44-58).
 
-    detect_method: DetectMethod = DetectMethod.FASTER
+    Deviation from the reference default (dmFASTER): dmKLT ships as the
+    default detector.  Round-5 interleaved 3-seed A/B on real-image
+    statistics (docs/artifacts/klt_ab_r5.json, TPU v5e): KLT wins the
+    textured scene every seed (mean ATE 0.106 m vs 0.138 m, -23%) with
+    equal-or-better validity AND a 9% faster device step (0.888 vs
+    0.978 ms — dense Shi-Tomasi fuses better than FAST+rank on the VPU).
+    The blob stress preset (rso/synthetic.py synthetic_config) pins FASTER,
+    which wins that scene's statistics (0.097 vs 0.118 m).
+    """
+
+    detect_method: DetectMethod = DetectMethod.KLT
     target_feats_per_pixel: float = 10.0 / 1000.0
     KLT_win: int = 4
     minimum_KLT_response: float = 10.0

@@ -135,13 +135,16 @@ class TestDetectorRealTexture:
 
     def test_detected_corners_have_contrast(self, pair):
         """Every detected FAST corner must actually exceed the threshold
-        against its Bresenham ring (spot-check on real pixels)."""
-        from rso.config import DetectParams
+        against its Bresenham ring (spot-check on real pixels).  Pins the
+        FASTER method: this is a property of the FAST corner test, which the
+        shipped KLT default (docs/MODES.md round-5 A/B) does not run."""
+        from rso.config import DetectMethod, DetectParams
         from rso.frontend.detect import detect_features
 
         L, _ = pair
         th = 20
-        feats = detect_features(jnp.asarray(L, jnp.float32), DetectParams(),
+        feats = detect_features(jnp.asarray(L, jnp.float32),
+                                DetectParams(detect_method=DetectMethod.FASTER),
                                 256, jnp.int32(th), need_desc=False)
         v = np.asarray(feats.valid)
         # keypoints are subpixel-refined by +-0.5px; the FAST property holds
@@ -336,3 +339,65 @@ class TestDescriptorMarginRealTexture:
         assert s["inlier_rate"] > 0.35
         assert s["best_mean"] < 40.0
         assert s["margin_mean"] > 8.0
+
+
+class TestSixDofRealPixels:
+    """Per-axis motion contracts on real pixels (the CI version of
+    tools/real_6dof_drive.py; full-size artifact docs/artifacts/
+    real_6dof_r5.json).  Frame i warps BOTH eyes by the rotation homography
+    K R(i*theta)^T K^-1 about the crop's principal point — exactly a rigid
+    rig rotation when the axis is the baseline (pitch), and within
+    O(theta*B/Z) ~ 0.05 px otherwise — so the engine's per-frame delta must
+    be theta about that axis with ~zero translation.  Extends the
+    zero-motion and 1-DoF pan contracts to roll, pitch, AND yaw."""
+
+    N, THETA, F, BASE = 5, 0.3, 520.0, 0.12
+    CROP, OFF = (320, 240), (240, 180)
+
+    def _axis_deltas(self, pair, axis):
+        cv2 = pytest.importorskip("cv2")
+        from rso.engine import Engine
+        from rso.geometry.stereo_camera import StereoCamera
+        from rso.synthetic import textured_config
+
+        L, R = pair
+        (W, Hc), (x0, y0) = self.CROP, self.OFF
+        K = np.array([[self.F, 0, x0 + W / 2.0],
+                      [0, self.F, y0 + Hc / 2.0], [0, 0, 1.0]])
+        a = np.asarray(axis, np.float64)
+        Kx = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]],
+                       [-a[1], a[0], 0]])
+        frames = []
+        for i in range(self.N):
+            th = np.radians(i * self.THETA)
+            Rm = (np.eye(3) + np.sin(th) * Kx
+                  + (1 - np.cos(th)) * (Kx @ Kx))
+            Hm = K @ Rm.T @ np.linalg.inv(K)
+            li = cv2.warpPerspective(L, Hm, (L.shape[1], L.shape[0]))
+            ri = cv2.warpPerspective(R, Hm, (R.shape[1], R.shape[0]))
+            frames.append((li[y0:y0 + Hc, x0:x0 + W],
+                           ri[y0:y0 + Hc, x0:x0 + W]))
+        cam = StereoCamera.make(fx_l=self.F, fy_l=self.F, cx_l=W / 2.0,
+                                cy_l=Hc / 2.0, baseline=self.BASE)
+        eng = Engine(textured_config(), cam)
+        Ls = jnp.stack([jnp.asarray(l) for l, _ in frames])
+        Rs = jnp.stack([jnp.asarray(r) for _, r in frames])
+        res = eng.process_chunk(Ls, Rs)
+        ok = np.asarray(res.valid)[1:]
+        return np.asarray(res.pose)[1:][ok], int(ok.sum())
+
+    @pytest.mark.parametrize("name,axis", [("yaw", (0, 1, 0)),
+                                           ("pitch", (1, 0, 0)),
+                                           ("roll", (0, 0, 1))])
+    def test_axis_rotation_recovered(self, pair, name, axis):
+        poses, n_valid = self._axis_deltas(pair, axis)
+        assert n_valid == self.N - 1
+        w, t = poses[:, :3], poses[:, 3:]
+        angs = np.degrees(np.linalg.norm(w, axis=1))
+        med = float(np.median(angs))
+        # per-axis bounds like the pan check: magnitude within 15% of GT
+        # (tool measures 2-4% at full size; the 320x240 CI crop is looser),
+        # rotation axis dominant, translation ~0
+        assert abs(med - self.THETA) / self.THETA < 0.15, (name, angs)
+        assert (np.abs(w).argmax(1) == int(np.argmax(axis))).all(), (name, w)
+        assert np.linalg.norm(t, axis=1).max() < 0.01, (name, t)
