@@ -310,6 +310,9 @@ def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
 # Patches & descriptors
 # ---------------------------------------------------------------------------
 
+_WIN_STRIDE_OVERRIDE: int | None = None
+
+
 def _extract_rect(img: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
                   size_y: int, size_x: int) -> jnp.ndarray:
     """Batched size_y x size_x window pull at integer top-left corners
@@ -317,23 +320,33 @@ def _extract_rect(img: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
 
     TPU-profiled formulation: pointwise 2D gathers cost ~10ns/element on the
     scalar unit, but full-row takes vectorize.  So gather whole 64-wide
-    window rows (stride-32 overlapping windows built by plain slicing), then
-    pick the size_x lanes with an exact one-hot multiply-sum on the VPU.
+    window rows (overlapping windows built by plain slicing), then pick the
+    size_x lanes with an exact one-hot multiply-sum on the VPU.
     1.57ms -> 1.16ms for [512,8,8] on v5e; bit-exact (one-hot is 0/1 f32).
-    size_x <= 32 keeps the lane offset within the 64-lane window for any
-    in-range x0 (off <= 64 - size_x both when the stride-32 window index is
-    exact and when it clamps at the right edge).
+
+    Window stride: any stride <= 64 - size_x keeps the lane offset within
+    the 64-lane window for every in-range x0 (off = x0 - stride*wi <=
+    stride-1 when wi is exact, and <= 64 - size_x when it clamps at the
+    right edge because stride*(n_win-1) >= W - 64 by construction).  The
+    maximal stride 64 - size_x minimizes the materialized [H, n_win, 64]
+    window stack — for 8x8 SAD patches that is stride 56 vs the original
+    32, a 1.7x smaller stack (round-5 A/B: tools/exp_patch_stride.py).
     """
     assert size_x <= 32
     H, W = img.shape
     K = x0.shape[0]
-    Wp = -(-W // 64) * 64
+    # trace-time experiment hook (tools/exp_patch_stride.py builds stride-32
+    # and stride-56 step programs in one process for a same-claim A/B)
+    stride = (_WIN_STRIDE_OVERRIDE if _WIN_STRIDE_OVERRIDE
+              else 64 - size_x)
+    stride = min(stride, 64 - size_x)
+    n_win = max(1, -(-(W - 64) // stride) + 1) if W > 64 else 1
+    Wp = stride * (n_win - 1) + 64
     imp = jnp.pad(img, ((0, 0), (0, Wp - W)))
-    n_win = (Wp - 64) // 32 + 1
-    win = jnp.stack([lax.slice(imp, (0, 32 * i), (H, 32 * i + 64))
+    win = jnp.stack([lax.slice(imp, (0, stride * i), (H, stride * i + 64))
                      for i in range(n_win)], axis=1)      # [H, n_win, 64]
-    wi = jnp.clip(x0 // 32, 0, n_win - 1)                 # window index [K]
-    off = x0 - 32 * wi                                    # lane offset
+    wi = jnp.clip(x0 // stride, 0, n_win - 1)             # window index [K]
+    off = x0 - stride * wi                                # lane offset
     rows = y0[:, None] + jnp.arange(size_y, dtype=jnp.int32)[None, :]
     ridx = (rows * n_win + wi[:, None]).reshape(-1)                   # [K*sy]
     rowvals = jnp.take(win.reshape(H * n_win, 64), ridx, axis=0)      # [K*sy,64]

@@ -28,12 +28,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=240)
     ap.add_argument("--speed", type=float, default=0.5)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=200)
     ap.add_argument("--kf-gap", type=int, default=3)
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--overlap", type=int, default=2)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--out", default=os.path.join(
-        ROOT, "docs", "artifacts", "global_refine_r4.json"))
+        ROOT, "docs", "artifacts", "global_refine_r5.json"))
     args = ap.parse_args()
 
     import jax
@@ -53,8 +55,20 @@ def main():
 
     results = []
     for seed in args.seeds:
-        seq = make_textured_sequence(n_frames=args.frames, H=200, W=320,
-                                     speed=args.speed, seed=seed)
+        cam = None
+        if args.width > 320:   # KITTI-class geometry at full resolution
+            from rso.geometry.stereo_camera import StereoCamera
+
+            cam = StereoCamera.make(fx_l=718.856, fy_l=718.856,
+                                    cx_l=args.width / 2.0,
+                                    cy_l=args.height / 2.0, baseline=0.5371)
+        seq = make_textured_sequence(n_frames=args.frames, H=args.height,
+                                     W=args.width, speed=args.speed,
+                                     seed=seed, cam=cam,
+                                     px_per_m=24.0 if args.width > 320
+                                     else 48.0,
+                                     corridor=(8.0, 3.0) if args.width > 320
+                                     else (4.0, 2.0))
         cfg = textured_config()
         eng = Engine(cfg, seq.cam)
 
@@ -75,9 +89,13 @@ def main():
               f"VO ATE {ate_vo:.4f}", flush=True)
 
         # ---- one sharded solve for ALL windows + stitch ------------------
+        import time as _time
+
+        _t0 = _time.perf_counter()
         refined = refine_trajectory(
             seq.cam, coll.kfs, coll.kf_frame_idx, vo_poses,
             window=args.window, overlap=args.overlap, mesh=mesh)
+        solve_wall_s = _time.perf_counter() - _t0
         ate_ref = float(ate_rmse(refined, seq.poses))
         n_windows = max(1, -(-(n_kf - args.overlap)
                              // (args.window - args.overlap)))
@@ -88,6 +106,7 @@ def main():
             "windows": n_windows, "ate_vo_m": round(ate_vo, 4),
             "ate_refined_m": round(ate_ref, 4),
             "improvement": round(ate_vo / max(ate_ref, 1e-9), 3),
+            "solve_wall_s": round(solve_wall_s, 2),
         })
 
     doc = {
