@@ -252,25 +252,48 @@ def adaptive_nms_select(xy: jnp.ndarray, resp: jnp.ndarray,
 
 def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
                 min_response: float | jnp.ndarray = 0.0,
-                subpixel: bool = True, recall: float = 0.95):
+                subpixel: bool = True, recall: float = 0.95,
+                bin_w: int = 1):
     """Top-K peaks of a masked dense response map -> (xy [K,2], resp [K], valid [K]).
 
     With subpixel=True, peak positions are refined by a 1D quadratic fit per
     axis on the response surface (clamped to +-0.5 px) — accuracy the integer
     FASTER path of the reference lacks; stage-3/4 row logic rounds coords so
     the reference's integer-row semantics are preserved.
+
+    bin_w > 1 runs the top-K over a row-binned max of the masked map (bins
+    of bin_w lanes, argmax-in-bin recovers the exact column).  EXACT when
+    the map is NMS-sparsified with radius >= bin_w - 1: surviving same-row
+    peaks are then >= bin_w apart, so no bin ever holds two peaks and the
+    peak SET is identical — only the top-K input shrinks by bin_w
+    (lax.approx_max_k over H*W dominates detect, docs/PERF.md round-5).
     """
     H, W = response.shape
     masked = jnp.where(keep_mask, response, -jnp.inf)
-    flat = masked.reshape(-1)
+    if bin_w > 1:
+        Wp = -(-W // bin_w) * bin_w
+        m = jnp.pad(masked, ((0, 0), (0, Wp - W)),
+                    constant_values=-jnp.inf)
+        m = m.reshape(H, Wp // bin_w, bin_w)
+        binned = jnp.max(m, axis=-1)                  # [H, Wp/bin_w]
+        inbin = jnp.argmax(m, axis=-1).astype(jnp.int32)
+        flat = binned.reshape(-1)
+    else:
+        flat = masked.reshape(-1)
     try:  # TPU-accelerated approximate top-k (measured trade in
         # tools/exp_topk_recall.py: recall 1.0 costs +419us per KITTI-size
         # image pass; 0.95 drops 1.6-2.5% of winners, ATE-neutral)
         vals, idx = lax.approx_max_k(flat, k, recall_target=recall)
     except NotImplementedError:  # pragma: no cover
         vals, idx = lax.top_k(flat, k)
-    yi = (idx // W).astype(jnp.int32)
-    xi = (idx % W).astype(jnp.int32)
+    if bin_w > 1:
+        wb = flat.shape[0] // H
+        yi = (idx // wb).astype(jnp.int32)
+        bi = (idx % wb).astype(jnp.int32)
+        xi = jnp.minimum(bi * bin_w + inbin[yi, bi], W - 1)
+    else:
+        yi = (idx // W).astype(jnp.int32)
+        xi = (idx % W).astype(jnp.int32)
     valid = jnp.isfinite(vals) & (vals > min_response)
     xs = xi.astype(jnp.float32)
     ys = yi.astype(jnp.float32)
@@ -311,6 +334,7 @@ def select_topk(response: jnp.ndarray, keep_mask: jnp.ndarray, k: int,
 # ---------------------------------------------------------------------------
 
 _WIN_STRIDE_OVERRIDE: int | None = None
+_TOPK_BIN_OVERRIDE: int | None = None   # tools/exp_topk_bin.py A/B hook
 
 
 def _extract_rect(img: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
@@ -665,8 +689,17 @@ def detect_features(
     inb = (xs >= margin) & (xs < W - margin) & (ys >= margin) & (ys < H - margin)
     keep = keep & inb
 
+    # binned top-K (select_topk bin_w): measured NO-GO as a default —
+    # +4.2% step / +56us detect on v5e (tools/exp_topk_bin.py,
+    # docs/artifacts/topk_bin_r5.json): the extra binned-max + argmax
+    # materializations over the dense map cost more than shrinking
+    # approx_max_k's input 4x saves, i.e. top-K is NOT what bounds detect.
+    # The exact mechanism stays available for narrower maps.
+    bin_w = _TOPK_BIN_OVERRIDE if _TOPK_BIN_OVERRIDE is not None else 1
+    if not params.non_maximal_suppression:
+        bin_w = 1
     xy, resp_k, valid = select_topk(resp, keep, k_slots, min_resp,
-                                    recall=topk_recall)
+                                    recall=topk_recall, bin_w=bin_w)
     if use_adaptive:
         valid = adaptive_nms_select(xy, resp_k, valid, k_slots)
     xy = jnp.where(valid[:, None], xy, 0.0)
