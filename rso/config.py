@@ -242,6 +242,19 @@ class TPUParams:
     # measured on v5e (tools/exp_r3_followup.py).
     ransac_iters: int = 256
     ransac_threshold: float = 1.0      # epipolar (Sampson) inlier distance, px
+    # Amortized detection (the reference's flow-mode feature-decay
+    # semantics, stage4_match_consecutive.cpp:402-412, as an opt-in perf
+    # mode): detect_every=N runs full stage-2/3 detection every Nth frame
+    # and LK-PROPAGATES the previous frame's matched stereo pairs on the
+    # frames between (rso/engine.py _propagate) — re-validated per frame by
+    # LK convergence, epipolar row consistency, disparity sign, and the
+    # stereo SAD threshold.  A detection frame is forced whenever the
+    # surviving pair count drops below propagate_min_matches or after a
+    # recovery.  1 = detect every frame (the shipped default).  Requires
+    # the SAD match/track methods (descriptors are not re-extracted on
+    # propagated frames).
+    detect_every: int = 1
+    propagate_min_matches: int = 48
     # Detector top-K recall target (lax.approx_max_k).  Measured on v5e
     # (tools/exp_topk_recall.py): exact top-k (1.0) costs +419us per
     # KITTI-size image pass (567 -> 986 us) while 0.95 drops only 1.6-2.5%

@@ -69,9 +69,11 @@ class FrameView(NamedTuple):
 
 class EngineState(NamedTuple):
     prev: FrameView
-    prev_pyr_l: tuple             # prev-frame pyramids (OPTICAL_FLOW mode only, else empty)
-    prev_pyr_r: tuple
+    prev_pyr_l: tuple             # prev-frame pyramids (OPTICAL_FLOW mode or
+    prev_pyr_r: tuple             # detect_every>1, else empty)
     have_prev: jnp.ndarray        # bool scalar
+    since_detect: jnp.ndarray     # int32: frames since the last full detect
+    #                               (drives TPUParams.detect_every)
     last_match_id: jnp.ndarray    # int32 — reference m_last_match_ID
     last_kf_max_id: jnp.ndarray   # int32 — reference m_last_kf_max_id
     last_pose: jnp.ndarray        # [6] f32 — reference m_last_computed_pose
@@ -135,9 +137,11 @@ def init_state(cfg: RSOConfig, img_hw: tuple | None = None) -> EngineState:
     Ks = octave_k_slots(cfg.detect.orb_nfeats, O, cfg.tpu.max_kps_per_octave,
                         cfg.tpu.octave_slot_decay)
     pyr_l = pyr_r = ()
-    if cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
+    if (cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW
+            or cfg.tpu.detect_every > 1):
         if img_hw is None:
-            raise ValueError("OPTICAL_FLOW mode needs img_hw for init_state")
+            raise ValueError("OPTICAL_FLOW / detect_every>1 modes need "
+                             "img_hw for init_state")
         h, w = img_hw
         shapes = [(h >> o, w >> o) for o in range(O)]
         pyr_l = tuple(jnp.zeros(s_, jnp.float32) for s_ in shapes)
@@ -147,6 +151,7 @@ def init_state(cfg: RSOConfig, img_hw: tuple | None = None) -> EngineState:
         prev_pyr_l=pyr_l,
         prev_pyr_r=pyr_r,
         have_prev=jnp.bool_(False),
+        since_detect=jnp.int32(0),
         last_match_id=jnp.int32(0),
         last_kf_max_id=jnp.int32(-1),
         last_pose=jnp.zeros(6, jnp.float32),
@@ -233,6 +238,9 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
     if precomputed and cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
         raise ValueError("precomputed-data injection requires a descriptor/"
                          "SAD tracking mode (no images for optical flow)")
+    if precomputed and cfg.tpu.detect_every > 1:
+        raise ValueError("precomputed-data injection cannot combine with "
+                         "detect_every>1 (propagation needs the images)")
 
     if rectify_maps is not None:
         (_mlx, _mly), (_mrx, _mry) = rectify_maps
@@ -241,8 +249,8 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
     else:
         _maps = None
 
-    def _stages_1_2(state, left_img, right_img):
-        """Stage 1 (grayscale/rectify/pyramid, C5) + stage 2 (detect, C6)."""
+    def _stage_1(left_img, right_img):
+        """Stage 1 (grayscale/rectify/pyramid, C5)."""
         from rso.frontend.pyramid import bilinear_remap
 
         gl = to_grayscale(left_img)
@@ -250,9 +258,10 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         if _maps is not None:
             gl = bilinear_remap(gl, _maps[0], _maps[1])
             gr = bilinear_remap(gr, _maps[2], _maps[3])
-        pyr_l = build_pyramid(gl, O)
-        pyr_r = build_pyramid(gr, O)
+        return build_pyramid(gl, O), build_pyramid(gr, O)
 
+    def _stage_2(state, pyr_l, pyr_r):
+        """Stage 2 (detect, C6)."""
         octs = []
         new_fast_th = []
         detected = []
@@ -284,7 +293,7 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
                 th = update_fast_threshold(
                     th, jnp.sum(fl.valid.astype(jnp.int32)), area, cfg.detect)
             new_fast_th.append(th)
-        return pyr_l, pyr_r, octs, new_fast_th, detected
+        return octs, new_fast_th, detected
 
     def _stage_3(octs):
         """Stage 3 (stereo match, C7)."""
@@ -334,14 +343,122 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
     else:
         step_pre = None
 
-    def step(state: EngineState, left_img, right_img) -> tuple[EngineState, StepResult]:
-        pyr_l, pyr_r, octs, new_fast_th, detected = _stages_1_2(
-            state, left_img, right_img)
-        cur_octs, n_matches = _stage_3(octs)
-        return _tail(state, pyr_l, pyr_r, cur_octs, n_matches, detected,
-                     new_fast_th)
+    detect_every = max(1, int(cfg.tpu.detect_every))
+    if detect_every > 1 and (need_desc or cfg.if_match.ifm_method
+                             == IFMatchMethod.OPTICAL_FLOW):
+        raise ValueError("detect_every>1 requires the SAD match/track "
+                         "methods (descriptors are not re-extracted on "
+                         "propagated frames; OPTICAL_FLOW already carries "
+                         "its own LK stage)")
 
-    def _tail(state, pyr_l, pyr_r, cur_octs, n_matches, detected, new_fast_th):
+    def _propagate(state, pyr_l, pyr_r):
+        """Amortized detection: LK-propagate the previous frame's matched
+        stereo pairs into the current pyramids, skipping stages 2-3.
+
+        The reference's flow mode OVERWRITES current features with raw
+        LK-tracked points and lets the pool decay until re-detection
+        (stage4_match_consecutive.cpp:402-412); this is that semantic as a
+        scheduled perf mode.  Each propagated pair is re-validated per
+        frame: LK convergence + in-bounds on both eyes, epipolar row
+        consistency (|dy| <= max_y_diff like stage 3), positive disparity,
+        and the stereo SAD threshold on freshly extracted 8x8 patches.
+        Stage 4 then associates prev->cur through the normal windowed
+        tracker (propagated slot i sits where slot i moved, so IDs and
+        keyframe bookkeeping flow through the existing C20 logic).
+        """
+        from rso.frontend.detect import extract_patches
+        from rso.frontend.optical_flow import lk_track
+
+        cur_octs, n_matches, detected = [], [], []
+        for o in range(O):
+            p = state.prev.octaves[o]
+            sub_pl = list(state.prev_pyr_l)[o:]
+            sub_pr = list(state.prev_pyr_r)[o:]
+            sub_cl = list(pyr_l)[o:]
+            sub_cr = list(pyr_r)[o:]
+            pair_ok = p.matches.valid
+            p_ridx = jnp.maximum(p.matches.ridx, 0)
+            pR_xy = p.right.xy[p_ridx]
+
+            fl = lk_track(sub_pl, sub_cl, p.left.xy, p.left.valid)
+            fr = lk_track(sub_pr, sub_cr, pR_xy, pair_ok)
+
+            new_lxy = jnp.where(fl.status[:, None], fl.pos, p.left.xy)
+            lpatch = extract_patches(pyr_l[o], new_lxy)
+            left = p.left._replace(xy=new_lxy,
+                                   valid=p.left.valid & fl.status,
+                                   patch=jnp.where(fl.status[:, None],
+                                                   lpatch, p.left.patch))
+
+            # scatter tracked right positions back into their slots; rows
+            # that did not track write out of bounds and are dropped
+            upd = pair_ok & fr.status
+            tgt = jnp.where(upd, p_ridx, p.right.xy.shape[0])
+            new_rxy = p.right.xy.at[tgt].set(fr.pos, mode="drop")
+            rpatch = extract_patches(pyr_r[o], new_rxy)
+            moved = jnp.zeros(p.right.xy.shape[0],
+                              bool).at[tgt].set(True, mode="drop")
+            right = p.right._replace(xy=new_rxy,
+                                     patch=jnp.where(moved[:, None], rpatch,
+                                                     p.right.patch))
+
+            # per-frame pair re-validation (the stage-3 acceptance gates
+            # that still apply without a fresh detect)
+            epi_ok = (jnp.abs(fl.pos[:, 1] - fr.pos[:, 1])
+                      <= max(cfg.lr_match.max_y_diff, 1.0))
+            disp_ok = (fl.pos[:, 0] - fr.pos[:, 0]) > 0.0
+            dist = jnp.sum(jnp.abs(lpatch - rpatch[p_ridx]), axis=1)
+            dist_ok = dist <= cfg.lr_match.sad_max_distance
+            m_ok = (pair_ok & fl.status & fr.status & epi_ok & disp_ok
+                    & dist_ok)
+            matches = p.matches._replace(
+                valid=m_ok,
+                dist=jnp.where(m_ok, dist, jnp.float32(1e9)))
+
+            cur_octs.append(OctaveData(left=left, right=right,
+                                       matches=matches,
+                                       match_ids=jnp.full(
+                                           (Ks[o],), -1, jnp.int32)))
+            n_matches.append(jnp.sum(m_ok.astype(jnp.int32)))
+            detected.append(jnp.stack(
+                [jnp.sum(left.valid.astype(jnp.int32)),
+                 jnp.sum(right.valid.astype(jnp.int32))]))
+        return cur_octs, n_matches, detected
+
+    def step(state: EngineState, left_img, right_img) -> tuple[EngineState, StepResult]:
+        pyr_l, pyr_r = _stage_1(left_img, right_img)
+        if detect_every == 1:
+            octs, new_fast_th, detected = _stage_2(state, pyr_l, pyr_r)
+            cur_octs, n_matches = _stage_3(octs)
+            return _tail(state, pyr_l, pyr_r, cur_octs, n_matches, detected,
+                         new_fast_th)
+
+        prev_pairs = sum(jnp.sum(oc.matches.valid.astype(jnp.int32))
+                         for oc in state.prev.octaves)
+        do_detect = (~state.have_prev
+                     | (state.since_detect + 1 >= detect_every)
+                     | (prev_pairs < cfg.tpu.propagate_min_matches)
+                     | (state.err_streak > 0))
+
+        def _detect_branch(_):
+            octs, new_fast_th, detected = _stage_2(state, pyr_l, pyr_r)
+            cur_octs, n_matches = _stage_3(octs)
+            return (tuple(cur_octs), tuple(n_matches), tuple(detected),
+                    tuple(new_fast_th))
+
+        def _prop_branch(_):
+            cur_octs, n_matches, detected = _propagate(state, pyr_l, pyr_r)
+            return (tuple(cur_octs), tuple(n_matches), tuple(detected),
+                    tuple(state.fast_th[o] for o in range(O)))
+
+        cur_octs, n_matches, detected, new_fast_th = lax.cond(
+            do_detect, _detect_branch, _prop_branch, None)
+        return _tail(state, pyr_l, pyr_r, list(cur_octs), list(n_matches),
+                     list(detected), list(new_fast_th),
+                     did_detect=do_detect)
+
+    def _tail(state, pyr_l, pyr_r, cur_octs, n_matches, detected, new_fast_th,
+              did_detect=True):
 
         # ---- stage 4: inter-frame tracking (C8) + IDs (C20) -----------------
         key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_idx)
@@ -356,9 +473,15 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
             if cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
                 from rso.frontend.track import track_optical_flow
 
+                # pyramids sliced to [o:] — octave-o features live in
+                # octave-o pixel coords, so the LK pyramid for this octave
+                # must start at level o (pre-round-5 this passed the full
+                # pyramid, so octave>0 features tracked at 2^o-wrong
+                # positions, failed the LK error gate, and contributed
+                # nothing to flow mode)
                 trk = track_optical_flow(
-                    list(state.prev_pyr_l), list(state.prev_pyr_r),
-                    pyr_l, pyr_r,
+                    list(state.prev_pyr_l)[o:], list(state.prev_pyr_r)[o:],
+                    list(pyr_l)[o:], list(pyr_r)[o:],
                     p.left, p.right, p.matches,
                     c.left, c.right, c.matches,
                     cfg.if_match, jax.random.fold_in(key, o),
@@ -568,7 +691,8 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
         new_prev = jax.tree_util.tree_map(
             lambda new, old: jnp.where(keep_prev, old, new), cur_view,
             state.prev)
-        if cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW:
+        if (cfg.if_match.ifm_method == IFMatchMethod.OPTICAL_FLOW
+                or max(1, int(cfg.tpu.detect_every)) > 1):
             new_pyr_l = tuple(jnp.where(keep_prev, o_, n_)
                               for n_, o_ in zip(pyr_l, state.prev_pyr_l))
             new_pyr_r = tuple(jnp.where(keep_prev, o_, n_)
@@ -581,11 +705,16 @@ def make_step(cfg: RSOConfig, cam: StereoCamera, img_h: int, img_w: int,
             & (not cfg.least_squares.use_custom_initial_pose),
             sol.delta_pose, state.last_pose)
 
+        # a kept-prev (recovery) frame leaves the OLD features in state, so
+        # it never counts as a fresh detection regardless of the branch run
+        new_since = jnp.where(keep_prev | ~jnp.asarray(did_detect),
+                              state.since_detect + 1, jnp.int32(0))
         new_state = EngineState(
             prev=new_prev,
             prev_pyr_l=new_pyr_l,
             prev_pyr_r=new_pyr_r,
             have_prev=jnp.bool_(True),
+            since_detect=new_since,
             last_match_id=last_id,
             last_kf_max_id=state.last_kf_max_id,
             last_pose=new_last_pose,
