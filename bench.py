@@ -24,7 +24,7 @@ def _same_scene_comparison():
     both pipelines on IDENTICAL PNGs, identical trajectory integration.
     Returns (rso_ate, baseline_ate) or (None, None)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "docs", "artifacts", "compare_baseline_r4.json")
+                        "docs", "artifacts", "compare_baseline_r5.json")
     try:
         with open(path) as f:
             m = json.load(f)["mean_ate_by_scene"]["blob"]

@@ -151,13 +151,24 @@ def run_bench(n_frames: int = 120, n_points: int = 2000, warmup: int = 3,
     obs, _, _ = _project_grid(seq.cam, poses0, lmks0)
     prob = BAProblem(poses=poses0 + 0.01, lmks=lmks0 + 0.05, obs=obs,
                      mask=jnp.ones((P, L), bool))
-    n_ba = 50
-    out = bundle_adjust(seq.cam, prob, max_iters=n_ba, tol=0.0)   # compile
-    jax.block_until_ready(out.poses)
-    t0 = time.perf_counter()
-    out = bundle_adjust(seq.cam, prob, max_iters=n_ba, tol=0.0)
-    jax.block_until_ready(out.poses)
-    ba_iters_per_sec = int(out.n_iters) / (time.perf_counter() - t0)
+    # max_iters SLOPE, not a single timed call: one dispatch costs ~54 ms
+    # through the remote-TPU tunnel, which dominated the round-2..4 number
+    # (676 it/s apparent vs ~2480 it/s device — docs/PERF.md round-5 BA
+    # anatomy).  The slope cancels the fixed dispatch cost.
+    ba_fns = {n: jax.jit(lambda pr, n=n: bundle_adjust(
+        seq.cam, pr, max_iters=n, tol=0.0).poses) for n in (25, 75)}
+    for f in ba_fns.values():   # compile both trip counts
+        jax.block_until_ready(f(prob))
+
+    def _ba_t(n):
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(ba_fns[n](prob))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ba_iters_per_sec = 50.0 / (_ba_t(75) - _ba_t(25))
 
     # detect-stage HBM accounting (the step's largest stage).  Detection is
     # bandwidth-bound, not FLOP-bound (its only "matmuls" are 3x3 box sums),

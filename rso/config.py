@@ -64,17 +64,20 @@ class RectifyParams:
 class DetectParams:
     """[DETECT] — reference TDetectParams defaults (stage2_detect.cpp:44-58).
 
-    Deviation from the reference default (dmFASTER): dmKLT ships as the
-    default detector.  Round-5 interleaved 3-seed A/B on real-image
-    statistics (docs/artifacts/klt_ab_r5.json, TPU v5e): KLT wins the
-    textured scene every seed (mean ATE 0.106 m vs 0.138 m, -23%) with
-    equal-or-better validity AND a 9% faster device step (0.888 vs
-    0.978 ms — dense Shi-Tomasi fuses better than FAST+rank on the VPU).
-    The blob stress preset (rso/synthetic.py synthetic_config) pins FASTER,
-    which wins that scene's statistics (0.097 vs 0.118 m).
+    Default detector: dmFASTER, same as the reference — settled by TWO
+    rounds of measurement, because the short-horizon answer inverts.  At 60
+    frames the round-5 3-seed A/B (docs/artifacts/klt_ab_r5.json) has dmKLT
+    winning the textured corridor every seed (0.106 vs 0.138 m) and 9%
+    faster per step; at 120 frames on the same corridor
+    (docs/artifacts/klt_refine_r5.json) dmKLT drifts ~2x WORSE than
+    dmFASTER (0.258/0.284 vs 0.121/0.154, seeds 0/1, refine on or off) —
+    dense Shi-Tomasi peaks carry a slow positional bias that FAST's corner
+    gate filters out, and long-horizon ATE is what deployment sees.  dmKLT
+    stays available (set detect_method = 3) for short-window runs where its
+    subpixel response and step speed win.  docs/MODES.md "Round 5".
     """
 
-    detect_method: DetectMethod = DetectMethod.KLT
+    detect_method: DetectMethod = DetectMethod.FASTER
     target_feats_per_pixel: float = 10.0 / 1000.0
     KLT_win: int = 4
     minimum_KLT_response: float = 10.0

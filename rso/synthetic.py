@@ -26,17 +26,8 @@ def synthetic_config():
     import dataclasses
     from rso.config import RSOConfig
 
-    from rso.config import DetectMethod
-
     cfg = RSOConfig()
     return cfg.replace(
-        # FASTER beats the shipped KLT default on THIS scene's statistics
-        # (Gaussian blobs: peaked, near-identical responses): round-5
-        # 3-seed interleaved A/B measured FASTER 0.097 m vs KLT 0.118 m
-        # mean ATE (docs/artifacts/klt_ab_r5.json); on real-texture scenes
-        # the ranking inverts, which is why the global default is KLT.
-        detect=dataclasses.replace(cfg.detect,
-                                   detect_method=DetectMethod.FASTER),
         lr_match=dataclasses.replace(
             cfg.lr_match, max_y_diff=1.0, sad_max_distance=4000,
             sad_max_ratio=0.7, enable_robust_1to1_match=True,
