@@ -114,6 +114,8 @@ def main():
     ap.add_argument("--json", default="")
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--every", type=int, nargs="+", default=[1, 2, 3])
+    ap.add_argument("--scenes", nargs="+", default=["blob", "textured"],
+                    choices=["blob", "textured"])
     args = ap.parse_args()
 
     import jax
@@ -125,6 +127,8 @@ def main():
                             cy_l=H / 2.0, baseline=0.5371)
     out = {"backend": jax.default_backend(), "scenes": {}, "step_ms": {}}
     for scene, N in (("blob", 120), ("textured", 60)):
+        if scene not in args.scenes:
+            continue
         rows = {}
         for seed in range(args.seeds):
             for n in args.every:
